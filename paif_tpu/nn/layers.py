@@ -1,0 +1,132 @@
+"""Primitive layers (NHWC, flax.linen) with reference-parity semantics.
+
+Reference: operations_m.py (BasicConv padding table :114-145, conv3x3 :283)
+and torch defaults this framework must reproduce when importing checkpoints:
+  * nn.PReLU() -> ONE shared scalar parameter per module instance.
+  * BatchNorm eval mode -> running statistics (flax use_running_average).
+All convolutions default to HIGHEST precision: exact in float32, and still a
+single MXU pass when activations/params are bfloat16 (the fast path).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def conv_padding(kernel_size: int, dilation: int = 1) -> int:
+    """'Same' padding for odd kernels: reproduces the reference's explicit
+    table (operations_m.py:119-132): k3d1->1, k3d2->2, k5d1->2, k5d2->4,
+    k7d1->3, k7d2->6; k1 -> 0."""
+    return dilation * (kernel_size - 1) // 2
+
+
+class PReLU(nn.Module):
+    """PReLU with torch semantics: default a single shared scalar (init .25)."""
+
+    num_parameters: int = 1
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param(
+            "alpha",
+            lambda _key, shape: jnp.full(shape, self.init, dtype=jnp.float32),
+            (self.num_parameters,),
+        ).astype(x.dtype)
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d over NHWC with torch-compatible defaults."""
+
+    use_scale_bias: bool = True  # torch `affine`
+    eps: float = 1e-5
+    momentum: float = 0.1  # torch momentum (new = (1-m)*old + m*batch)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,
+            epsilon=self.eps,
+            use_bias=self.use_scale_bias,
+            use_scale=self.use_scale_bias,
+            dtype=x.dtype,
+            name="bn",
+        )(x)
+
+
+class Conv(nn.Module):
+    """Thin wrapper over nn.Conv: square kernel, symmetric padding, HWIO."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = False
+    padding: Optional[int] = None  # default: 'same' per conv_padding
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.padding if self.padding is not None else conv_padding(self.kernel_size, self.dilation)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            precision=PRECISION,
+            dtype=x.dtype,
+            name="conv",
+        )(x)
+
+
+def Conv3x3(features: int, stride: int = 1) -> Conv:
+    """conv3x3 from the reference: 3x3, pad 1, no bias."""
+    return Conv(features=features, kernel_size=3, stride=stride, use_bias=False)
+
+
+class BasicConv(nn.Module):
+    """Reference BasicConv: conv (padding table) + optional BN + optional PReLU.
+
+    operations_m.py:114-145. BN (when enabled) uses eps 1e-5, momentum .01.
+    """
+
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    groups: int = 1
+    relu: bool = True
+    bn: bool = False
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            dilation=self.dilation,
+            groups=self.groups,
+            use_bias=self.use_bias,
+        )(x)
+        if self.bn:
+            x = BatchNorm(momentum=0.01)(x, train=train)
+        if self.relu:
+            x = PReLU()(x)
+        return x
+
+
+def channel_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """(max, mean) over channels -> (B,H,W,2). operations_m.py:148-150."""
+    return jnp.concatenate(
+        [jnp.max(x, axis=-1, keepdims=True), jnp.mean(x, axis=-1, keepdims=True)], axis=-1
+    )
