@@ -1,0 +1,217 @@
+"""Mix Vision Transformer (SegFormer MiT-b0..b5) encoder, NHWC.
+
+Reference semantics: core/mix_transformer.py (NVIDIA SegFormer encoder).
+  * 4 stages of OverlapPatchEmbed (k7s4 then k3s2) + pre-norm blocks with
+    spatial-reduction attention (sr_ratio 8/4/2/1 shrinks K/V via a strided
+    conv + LayerNorm) and Mix-FFN (fc1 -> 3x3 depthwise -> GELU -> fc2).
+  * Block/stage LayerNorms use eps 1e-6; patch-embed and SR LayerNorms use
+    the torch default 1e-5. GELU is exact (erf), not tanh-approximate.
+  * DropPath (stochastic depth) linearly ramps to drop_path_rate; identity
+    at eval.
+
+TPU notes: attention stays as batched einsum — at 480x640 the largest
+attention is (19200 x 300) per head, which XLA tiles onto the MXU directly;
+a fused Pallas path is provided in paif_tpu.ops.pallas for the hot stages.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from paif_tpu.nn.layers import PRECISION
+
+
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+        return x / keep * mask
+
+
+class SRAttention(nn.Module):
+    """Attention with spatial reduction of K/V (mix_transformer.py:56-115)."""
+
+    dim: int
+    num_heads: int
+    sr_ratio: int = 1
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+        b, n, c = x.shape
+        h, w = hw
+        nh = self.num_heads
+        hd = c // nh
+        scale = hd**-0.5
+
+        q = nn.Dense(c, use_bias=self.qkv_bias, precision=PRECISION, name="q")(x)
+        q = q.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+
+        kv_in = x
+        if self.sr_ratio > 1:
+            r = self.sr_ratio
+            xs = x.reshape(b, h, w, c)
+            xs = nn.Conv(
+                c,
+                kernel_size=(r, r),
+                strides=(r, r),
+                padding="VALID",
+                precision=PRECISION,
+                name="sr",
+            )(xs)
+            kv_in = xs.reshape(b, -1, c)
+            kv_in = nn.LayerNorm(epsilon=1e-5, name="sr_norm")(kv_in)
+
+        kv = nn.Dense(c * 2, use_bias=self.qkv_bias, precision=PRECISION, name="kv")(kv_in)
+        m = kv.shape[1]
+        kv = kv.reshape(b, m, 2, nh, hd).transpose(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, precision=PRECISION) * scale
+        attn = nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, precision=PRECISION)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(c, precision=PRECISION, name="proj")(out)
+
+
+class MixFFN(nn.Module):
+    """fc1 -> 3x3 depthwise conv -> GELU -> fc2 (mix_transformer.py:18-53)."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+        b, n, c = x.shape
+        h, w = hw
+        x = nn.Dense(self.hidden, precision=PRECISION, name="fc1")(x)
+        xs = x.reshape(b, h, w, self.hidden)
+        xs = nn.Conv(
+            self.hidden,
+            kernel_size=(3, 3),
+            padding=[(1, 1), (1, 1)],
+            feature_group_count=self.hidden,
+            use_bias=True,
+            precision=PRECISION,
+            name="dwconv",
+        )(xs)
+        x = xs.reshape(b, n, self.hidden)
+        x = _gelu(x)
+        return nn.Dense(self.dim, precision=PRECISION, name="fc2")(x)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    sr_ratio: int = 1
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, hw: Tuple[int, int], deterministic: bool = True) -> jnp.ndarray:
+        dp = DropPath(self.drop_path, name="drop_path")
+        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = x + dp(SRAttention(self.dim, self.num_heads, self.sr_ratio, name="attn")(y, hw), deterministic)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        x = x + dp(MixFFN(self.dim, int(self.dim * self.mlp_ratio), name="mlp")(y, hw), deterministic)
+        return x
+
+
+class OverlapPatchEmbed(nn.Module):
+    dim: int
+    patch_size: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+        p = self.patch_size // 2
+        x = nn.Conv(
+            self.dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.stride, self.stride),
+            padding=[(p, p), (p, p)],
+            use_bias=True,
+            precision=PRECISION,
+            name="proj",
+        )(x)
+        b, h, w, c = x.shape
+        x = x.reshape(b, h * w, c)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return x, (h, w)
+
+
+MIT_CONFIGS = {
+    # name: (embed_dims, num_heads, depths, sr_ratios, mlp_ratios, drop_path)
+    "mit_b0": ((32, 64, 160, 256), (1, 2, 5, 8), (2, 2, 2, 2), (8, 4, 2, 1), (4, 4, 4, 4), 0.1),
+    "mit_b1": ((64, 128, 320, 512), (1, 2, 5, 8), (2, 2, 2, 2), (8, 4, 2, 1), (4, 4, 4, 4), 0.1),
+    "mit_b2": ((64, 128, 320, 512), (1, 2, 5, 8), (3, 4, 6, 3), (8, 4, 2, 1), (4, 4, 4, 4), 0.1),
+    "mit_b3": ((64, 128, 320, 512), (1, 2, 5, 8), (3, 4, 18, 3), (8, 4, 2, 1), (4, 4, 4, 4), 0.1),
+    "mit_b4": ((64, 128, 320, 512), (1, 2, 5, 8), (3, 8, 27, 3), (8, 4, 2, 1), (4, 4, 4, 4), 0.1),
+    "mit_b5": ((64, 128, 320, 512), (1, 2, 5, 8), (3, 6, 40, 3), (8, 4, 2, 1), (4, 4, 4, 4), 0.1),
+}
+
+
+class MixVisionTransformer(nn.Module):
+    """Returns the 4-scale NHWC feature pyramid [stride 4, 8, 16, 32]."""
+
+    embed_dims: Sequence[int] = (64, 128, 320, 512)
+    num_heads: Sequence[int] = (1, 2, 5, 8)
+    depths: Sequence[int] = (3, 4, 18, 3)
+    sr_ratios: Sequence[int] = (8, 4, 2, 1)
+    mlp_ratios: Sequence[int] = (4, 4, 4, 4)
+    drop_path_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+        outs = []
+        cur = 0
+        for s in range(4):
+            patch, stride = (7, 4) if s == 0 else (3, 2)
+            tokens, (h, w) = OverlapPatchEmbed(
+                self.embed_dims[s], patch, stride, name=f"patch_embed{s + 1}"
+            )(x)
+            for i in range(self.depths[s]):
+                tokens = Block(
+                    self.embed_dims[s],
+                    self.num_heads[s],
+                    self.mlp_ratios[s],
+                    self.sr_ratios[s],
+                    dpr[cur + i],
+                    name=f"block{s + 1}_{i}",
+                )(tokens, (h, w), deterministic=not train)
+            cur += self.depths[s]
+            tokens = nn.LayerNorm(epsilon=1e-6, name=f"norm{s + 1}")(tokens)
+            x = tokens.reshape(tokens.shape[0], h, w, self.embed_dims[s])
+            outs.append(x)
+        return outs
+
+
+def mit(name: str, drop_path_rate: float | None = None) -> MixVisionTransformer:
+    dims, heads, depths, srs, mlps, dpr = MIT_CONFIGS[name]
+    return MixVisionTransformer(
+        embed_dims=dims,
+        num_heads=heads,
+        depths=depths,
+        sr_ratios=srs,
+        mlp_ratios=mlps,
+        drop_path_rate=dpr if drop_path_rate is None else drop_path_rate,
+    )

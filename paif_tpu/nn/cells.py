@@ -1,0 +1,102 @@
+"""Fusion cells: sequential op chains and the guided-filter decomposition cell.
+
+Reference semantics: core/model_fusion_auto.py
+  * Cell_Chain (:418-445): ops applied sequentially with an outer residual.
+  * Cell_Decom (:492-535): per-modality guided-filter low/high-frequency
+    decomposition at radius 4 with eps {1e-3, 1e-4}, 1x1 recombination, two
+    genotype chains, residual outputs.
+  * spatial_attn_layer_M (:1352-1368): cross-modal spatial gate from
+    (max,mean) channel pools of both modalities.
+
+Reference quirk preserved: the lf branch concatenates (lf_ir, hf_ir) and the
+hf branch (lf_vis, hf_vis) — a per-modality split rather than a per-frequency
+one (model_fusion_auto.py:512-513). The published weights were trained this
+way.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from paif_tpu.nn.layers import BasicConv, Conv, channel_pool
+from paif_tpu.nn.ops_registry import make_op
+from paif_tpu.ops.guided_filter import guided_filter
+
+# Re-export the plain single-input gate for SPA-style fusion variants.
+from paif_tpu.nn.ops_registry import SpatialAttnLayer as SpatialAttnGate  # noqa: F401
+
+
+class CellChain(nn.Module):
+    """Sequential genotype ops with an outer residual: x + opN(...op1(x))."""
+
+    features: int
+    ops: Tuple[str, ...]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        s = x
+        for i, primitive in enumerate(self.ops):
+            s = make_op(self.features, primitive, name=f"op{i}")(s, train)
+        return x + s
+
+
+def residue(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel channel max - min -> (B,H,W,1). model_fusion_auto.py:517-521."""
+    return (jnp.max(x, axis=-1) - jnp.min(x, axis=-1))[..., None]
+
+
+def decompose(x: jnp.ndarray, radius: int = 4, eps_list: Tuple[float, ...] = (1e-3, 1e-4)):
+    """Guided-filter frequency split. Returns (LF, HF), each C*len(eps_list).
+
+    The guide is the channel residue; each eps produces one (LF, x-LF) pair,
+    concatenated along channels (model_fusion_auto.py:522-535).
+    """
+    guide = residue(x)
+    lfs, hfs = [], []
+    for eps in eps_list:
+        lf = guided_filter(guide, x, radius, eps)
+        lfs.append(lf)
+        hfs.append(x - lf)
+    return jnp.concatenate(lfs, axis=-1), jnp.concatenate(hfs, axis=-1)
+
+
+class CellDecom(nn.Module):
+    """Decomposition cell over an (ir, vis) feature pair."""
+
+    features: int
+    chain1_ops: Tuple[str, ...]  # genotype normal_1
+    chain2_ops: Tuple[str, ...]  # genotype normal_2
+    radius: int = 4
+    eps_list: Tuple[float, ...] = (1e-3, 1e-4)
+
+    @nn.compact
+    def __call__(
+        self, inp_ir: jnp.ndarray, inp_vis: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        c = self.features
+        lf_ir, hf_ir = decompose(inp_ir, self.radius, self.eps_list)
+        lf_vis, hf_vis = decompose(inp_vis, self.radius, self.eps_list)
+        lf = Conv(c, 1, use_bias=True, name="conv1x1_lf")(jnp.concatenate([lf_ir, hf_ir], -1))
+        hf = Conv(c, 1, use_bias=True, name="conv1x1_hf")(jnp.concatenate([lf_vis, hf_vis], -1))
+        lf_re = CellChain(c, self.chain1_ops, name="chain")(lf, train)
+        hf_re = CellChain(c, self.chain2_ops, name="chain2")(hf, train)
+        return lf_re + inp_ir, hf_re + inp_vis
+
+
+class CrossModalSpatialGate(nn.Module):
+    """scale in (0,1): conv over (max_ir, mean_ir, max_vis, mean_vis) pools."""
+
+    kernel_size: int = 5
+
+    @nn.compact
+    def __call__(self, ir: jnp.ndarray, vis: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pooled = jnp.concatenate([channel_pool(ir), channel_pool(vis)], axis=-1)
+        gate = BasicConv(1, self.kernel_size, relu=False, name="spatial")(pooled, train)
+        return nn.sigmoid(gate)
+
+
+# ECALayer re-export for package-level convenience.
+from paif_tpu.nn.ops_registry import ECALayer  # noqa: E402,F401

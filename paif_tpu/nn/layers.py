@@ -3,9 +3,13 @@
 Reference: operations_m.py (BasicConv padding table :114-145, conv3x3 :283)
 and torch defaults this framework must reproduce when importing checkpoints:
   * nn.PReLU() -> ONE shared scalar parameter per module instance.
-  * BatchNorm eval mode -> running statistics (flax use_running_average).
+  * BatchNorm eval mode -> running statistics (use_running_average).
 All convolutions default to HIGHEST precision: exact in float32, and still a
 single MXU pass when activations/params are bfloat16 (the fast path).
+
+Conv/BatchNorm are factory *functions* returning flax modules so parameter
+trees stay flat (e.g. `stem_1/kernel`) — this keeps the torch-checkpoint
+importer's key mapping mechanical.
 """
 
 from __future__ import annotations
@@ -26,6 +30,56 @@ def conv_padding(kernel_size: int, dilation: int = 1) -> int:
     return dilation * (kernel_size - 1) // 2
 
 
+def Conv(
+    features: int,
+    kernel_size: int,
+    stride: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+    use_bias: bool = False,
+    padding: Optional[int] = None,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """Square-kernel conv, symmetric 'same' padding by default, HWIO."""
+    pad = padding if padding is not None else conv_padding(kernel_size, dilation)
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        kernel_dilation=(dilation, dilation),
+        feature_group_count=groups,
+        use_bias=use_bias,
+        precision=PRECISION,
+        name=name,
+    )
+
+
+def Conv3x3(features: int, stride: int = 1, name: Optional[str] = None) -> nn.Conv:
+    """conv3x3 from the reference: 3x3, pad 1, no bias."""
+    return Conv(features, 3, stride=stride, use_bias=False, name=name)
+
+
+def BatchNorm(
+    affine: bool = True,
+    eps: float = 1e-5,
+    momentum: float = 0.1,
+    name: Optional[str] = None,
+) -> nn.BatchNorm:
+    """BatchNorm over the channel axis with torch-compatible defaults.
+
+    Call with `use_running_average=not train`. torch momentum m means
+    new = (1-m)*old + m*batch, i.e. flax momentum = 1-m.
+    """
+    return nn.BatchNorm(
+        momentum=1.0 - momentum,
+        epsilon=eps,
+        use_bias=affine,
+        use_scale=affine,
+        name=name,
+    )
+
+
 class PReLU(nn.Module):
     """PReLU with torch semantics: default a single shared scalar (init .25)."""
 
@@ -42,63 +96,11 @@ class PReLU(nn.Module):
         return jnp.where(x >= 0, x, alpha * x)
 
 
-class BatchNorm(nn.Module):
-    """BatchNorm2d over NHWC with torch-compatible defaults."""
-
-    use_scale_bias: bool = True  # torch `affine`
-    eps: float = 1e-5
-    momentum: float = 0.1  # torch momentum (new = (1-m)*old + m*batch)
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=1.0 - self.momentum,
-            epsilon=self.eps,
-            use_bias=self.use_scale_bias,
-            use_scale=self.use_scale_bias,
-            dtype=x.dtype,
-            name="bn",
-        )(x)
-
-
-class Conv(nn.Module):
-    """Thin wrapper over nn.Conv: square kernel, symmetric padding, HWIO."""
-
-    features: int
-    kernel_size: int
-    stride: int = 1
-    dilation: int = 1
-    groups: int = 1
-    use_bias: bool = False
-    padding: Optional[int] = None  # default: 'same' per conv_padding
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        pad = self.padding if self.padding is not None else conv_padding(self.kernel_size, self.dilation)
-        return nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)],
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            precision=PRECISION,
-            dtype=x.dtype,
-            name="conv",
-        )(x)
-
-
-def Conv3x3(features: int, stride: int = 1) -> Conv:
-    """conv3x3 from the reference: 3x3, pad 1, no bias."""
-    return Conv(features=features, kernel_size=3, stride=stride, use_bias=False)
-
-
 class BasicConv(nn.Module):
     """Reference BasicConv: conv (padding table) + optional BN + optional PReLU.
 
     operations_m.py:114-145. BN (when enabled) uses eps 1e-5, momentum .01.
+    Inner modules are named conv/bn/act.
     """
 
     features: int
@@ -112,16 +114,17 @@ class BasicConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = Conv(
-            features=self.features,
-            kernel_size=self.kernel_size,
+            self.features,
+            self.kernel_size,
             dilation=self.dilation,
             groups=self.groups,
             use_bias=self.use_bias,
+            name="conv",
         )(x)
         if self.bn:
-            x = BatchNorm(momentum=0.01)(x, train=train)
+            x = BatchNorm(momentum=0.01, name="bn")(x, use_running_average=not train)
         if self.relu:
-            x = PReLU()(x)
+            x = PReLU(name="act")(x)
         return x
 
 

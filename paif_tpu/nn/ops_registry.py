@@ -6,7 +6,7 @@ only a kernel field, which SelAttention interprets as the head count).
 Reference quirks preserved deliberately (they shape the published weights):
   * ResidualDenseBlock returns x3*0.333333 + x (operations_m.py:449).
   * Each block's nn.PReLU() is ONE scalar shared across every application
-    inside that block.
+    inside that block (named "act" here).
   * ECA/SPA blocks residual-add the *conv1 output*, not the block input
     (operations_m.py:381-393: `out = x = self.conv1(x)`).
   * ECABasicBlock/Spatial_BasicBlock ignore the dilation argument for conv2.
@@ -14,7 +14,7 @@ Reference quirks preserved deliberately (they shape the published weights):
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -40,7 +40,7 @@ class ResidualDenseBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c, k, d = self.features, self.kernel_size, self.dilation
-        prelu = PReLU()
+        prelu = PReLU(name="act")
         x1 = prelu(BasicConv(c, k, d, relu=False, name="conv1")(x, train))
         x2 = prelu(BasicConv(c, k, d, relu=False, name="conv2")(jnp.concatenate([x, x1], -1), train))
         x3 = prelu(BasicConv(c, k, d, relu=False, name="conv3")(jnp.concatenate([x, x1, x2], -1), train))
@@ -60,8 +60,8 @@ class ResidualModule(nn.Module):
         r = BasicConv(c, self.kernel_size, self.dilation, relu=False, name="conv_a")(x, train)
         r = Conv(c, 3, dilation=2, name="conv_b")(r)
         r = Conv(c, 1, name="conv_c")(r)
-        r = BatchNorm(name="norm")(r, train)
-        r = PReLU()(r)
+        r = BatchNorm(name="norm")(r, use_running_average=not train)
+        r = PReLU(name="act")(r)
         return x + r
 
 
@@ -80,7 +80,6 @@ class ECALayer(nn.Module):
             padding=[((self.kernel_size - 1) // 2,) * 2],
             use_bias=False,
             precision=PRECISION,
-            dtype=x.dtype,
             name="conv1d",
         )(y[..., None])[..., 0]
         gate = nn.sigmoid(y)[:, None, None, :]
@@ -96,8 +95,8 @@ class ECABasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        prelu = PReLU()
-        y = Conv3x3(self.features)(x)
+        prelu = PReLU(name="act")
+        y = Conv3x3(self.features, name="conv1")(x)
         out = prelu(y)
         out = BasicConv(self.features, self.kernel_size, relu=False, name="conv2")(out, train)
         out = ECALayer(self.kernel_size, name="se")(out)
@@ -124,8 +123,8 @@ class SpatialBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        prelu = PReLU()
-        y = Conv3x3(self.features)(x)
+        prelu = PReLU(name="act")
+        y = Conv3x3(self.features, name="conv1")(x)
         out = prelu(y)
         out = BasicConv(self.features, self.kernel_size, relu=False, name="conv2")(out, train)
         out = SpatialAttnLayer(self.kernel_size, name="se")(out, train)
@@ -145,7 +144,7 @@ class DilConv(nn.Module):
         r = nn.relu(x)
         r = BasicConv(c, self.kernel_size, self.dilation, groups=c, relu=False, name="dw")(r, train)
         r = Conv(c, 1, name="pw")(r)
-        r = BatchNorm(name="norm")(r, train)
+        r = BatchNorm(name="norm")(r, use_running_average=not train)
         return r + x
 
 
@@ -163,7 +162,7 @@ class SepConv(nn.Module):
             x = nn.relu(x)
             x = Conv(c, k, groups=c, padding=pad, name=f"dw{i}")(x)
             x = Conv(c, 1, name=f"pw{i}")(x)
-            x = BatchNorm(name=f"norm{i}")(x, train)
+            x = BatchNorm(name=f"norm{i}")(x, use_running_average=not train)
         return x
 
 
@@ -181,11 +180,11 @@ class SelfPath(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         b, h, w, c = x.shape
-        prelu = PReLU()
+        prelu = PReLU(name="act")
         res = prelu(Conv(c, 3, use_bias=True, name="conv_in")(x))
         tokens = res.reshape(b, h * w, c)
         inner = self.dim_head * self.num_heads
-        qkv = nn.Dense(inner * 3, use_bias=False, precision=PRECISION, dtype=x.dtype, name="to_qkv")(tokens)
+        qkv = nn.Dense(inner * 3, use_bias=False, precision=PRECISION, name="to_qkv")(tokens)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -197,21 +196,21 @@ class SelfPath(nn.Module):
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, precision=PRECISION)
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, inner)
         if not (self.num_heads == 1 and self.dim_head == c):
-            out = nn.Dense(c, precision=PRECISION, dtype=x.dtype, name="to_out")(out)
-        out = nn.LayerNorm(dtype=x.dtype, name="norm")(out)
+            out = nn.Dense(c, precision=PRECISION, name="to_out")(out)
+        out = nn.LayerNorm(name="norm")(out)
         out = out.reshape(b, h, w, c)
         return prelu(Conv(c, 3, use_bias=True, name="conv_out")(out))
 
 
 # Registry keyed exactly like the reference OPS dict (operations_m.py:9-18).
-OPS: Dict[str, Callable[[int, int, int], nn.Module]] = {
-    "Denseblocks": lambda c, k, d: ResidualDenseBlock(c, k, d),
-    "Residualblocks": lambda c, k, d: ResidualModule(c, k, d),
-    "ECAattention": lambda c, k, d: ECABasicBlock(c, k, d),
-    "SPAattention": lambda c, k, d: SpatialBasicBlock(c, k, d),
-    "DilConv": lambda c, k, d: DilConv(c, k, d),
-    "SepConv": lambda c, k, d: SepConv(c, k),
-    "SelAttention": lambda c, k, d: SelfPath(c, num_heads=k),
+OPS: Dict[str, Callable[..., nn.Module]] = {
+    "Denseblocks": lambda c, k, d, name=None: ResidualDenseBlock(c, k, d, name=name),
+    "Residualblocks": lambda c, k, d, name=None: ResidualModule(c, k, d, name=name),
+    "ECAattention": lambda c, k, d, name=None: ECABasicBlock(c, k, d, name=name),
+    "SPAattention": lambda c, k, d, name=None: SpatialBasicBlock(c, k, d, name=name),
+    "DilConv": lambda c, k, d, name=None: DilConv(c, k, d, name=name),
+    "SepConv": lambda c, k, d, name=None: SepConv(c, k, name=name),
+    "SelAttention": lambda c, k, d, name=None: SelfPath(c, num_heads=k, name=name),
 }
 
 
@@ -229,10 +228,7 @@ def parse_op_string(primitive: str) -> Tuple[str, int, int]:
     return name, kernel, dilation
 
 
-def make_op(features: int, primitive: str, name: str | None = None) -> nn.Module:
+def make_op(features: int, primitive: str, name: Optional[str] = None) -> nn.Module:
     """Instantiate the op a genotype entry names, e.g. 'Denseblocks_3_1'."""
     op_name, kernel, dilation = parse_op_string(primitive)
-    mod = OPS[op_name](features, kernel, dilation)
-    if name is not None:
-        mod = mod.clone(name=name)
-    return mod
+    return OPS[op_name](features, kernel, dilation, name=name)

@@ -1,0 +1,124 @@
+"""Golden parity: reference PyTorch models (random weights) vs this framework.
+
+Weights flow through paif_tpu.io.torch_import, so these tests validate model
+semantics AND the checkpoint importer in one shot.
+"""
+
+from collections import namedtuple
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from tests.reference_stubs import install_reference_stubs
+
+install_reference_stubs()
+
+from paif_tpu.genotype import Genotype, PAIF_GENOTYPE  # noqa: E402
+from paif_tpu.io.torch_import import (  # noqa: E402
+    fusion_entries,
+    joint_entries,
+    segformer_entries,
+    to_flax_variables,
+)
+from paif_tpu.models import FusionNetSearched, PAIFJoint, SegFormer  # noqa: E402
+
+RefGenotype = namedtuple(
+    "Genotype", "normal_1 normal_1_concat normal_2 normal_2_concat normal_3 normal_3_concat"
+)
+
+# Exercises every op in the registry (SelAttention needs the _dilation suffix
+# to parse in the reference; ours accepts both forms).
+ALL_OPS_GENOTYPE = Genotype(
+    normal_1=(("SepConv_3_1", 0), ("SPAattention_5", 1)),
+    normal_2=(("SelAttention_2_1", 0), ("Denseblocks_3_1", 1)),
+    normal_3=(("Residualblocks_3_2", 0), ("DilConv_3_2", 1), ("ECAattention_3", 2)),
+)
+
+
+def to_ref_genotype(g: Genotype) -> "RefGenotype":
+    return RefGenotype(
+        normal_1=list(g.normal_1),
+        normal_1_concat=list(g.normal_1_concat),
+        normal_2=list(g.normal_2),
+        normal_2_concat=list(g.normal_2_concat),
+        normal_3=list(g.normal_3),
+        normal_3_concat=list(g.normal_3_concat),
+    )
+
+
+def torch_state(module: torch.nn.Module) -> dict:
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+@pytest.mark.parametrize("genotype", [PAIF_GENOTYPE, ALL_OPS_GENOTYPE], ids=["paif", "all-ops"])
+def test_fusion_net_parity(rng, genotype):
+    from core.model_fusion_auto import Network_Fusion_Searched
+
+    torch.manual_seed(0)
+    ref = Network_Fusion_Searched(16, None, to_ref_genotype(genotype)).eval()
+
+    ir = rng.uniform(0, 1, (2, 1, 24, 32)).astype(np.float32)
+    vis = rng.uniform(0, 1, (2, 3, 24, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(ir), torch.from_numpy(vis)).numpy()
+
+    model = FusionNetSearched(features=16, genotype=genotype)
+    variables = to_flax_variables(torch_state(ref), fusion_entries(genotype))
+    got = model.apply(
+        variables,
+        jnp.asarray(ir.transpose(0, 2, 3, 1)),
+        jnp.asarray(vis.transpose(0, 2, 3, 1)),
+    )
+    # f32 rounding accumulates through softmax/attention in the all-ops case
+    np.testing.assert_allclose(np.asarray(got)[..., 0], ref_out[:, 0], atol=1e-4, rtol=1e-3)
+
+
+def test_segformer_parity(rng):
+    from core.model_fusion_auto import WeTr
+
+    torch.manual_seed(0)
+    ref = WeTr("mit_b0", num_classes=9, embedding_dim=256, pretrained=None).eval()
+
+    x = rng.normal(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    model = SegFormer(backbone="mit_b0", num_classes=9)
+    variables = to_flax_variables(torch_state(ref), segformer_entries("mit_b0"))
+    got = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), ref_out, atol=5e-4, rtol=1e-3
+    )
+
+
+def test_joint_model_parity(rng):
+    from core.model_fusion_auto import Network_MM_Searched
+
+    torch.manual_seed(0)
+    ref = Network_MM_Searched(
+        16, to_ref_genotype(PAIF_GENOTYPE), None, None, "mit_b0", num_classes=9
+    ).eval()
+
+    ir = rng.uniform(0, 1, (1, 1, 64, 64)).astype(np.float32)
+    vis = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_fused, ref_seg = ref(torch.from_numpy(ir), torch.from_numpy(vis))
+
+    model = PAIFJoint(
+        backbone="mit_b0", num_classes=9, fusion=lambda: FusionNetSearched(16, PAIF_GENOTYPE)
+    )
+    variables = to_flax_variables(torch_state(ref), joint_entries(PAIF_GENOTYPE, "mit_b0"))
+    fused, seg = model.apply(
+        variables,
+        jnp.asarray(ir.transpose(0, 2, 3, 1)),
+        jnp.asarray(vis.transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused)[..., 0], ref_fused.numpy()[:, 0], atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(seg).transpose(0, 3, 1, 2), ref_seg.numpy(), atol=1e-3, rtol=1e-3
+    )
