@@ -1,0 +1,112 @@
+"""Benchmark: fused-pairs/sec of the flagship joint model (searched fusion +
+MiT-b3 SegFormer) at MFNet resolution 480x640, batched, jit-compiled.
+
+Prints ONE JSON line:
+  {"metric": "fused_pairs_per_sec", "value": N, "unit": "pairs/s",
+   "vs_baseline": N / BASELINE_PAIRS_PER_SEC}
+
+The baseline is the PyTorch reference's un-jitted batch-1 CPU loop
+(robust_test.py: no batching, no compilation). BASELINE_PAIRS_PER_SEC below
+was measured with scripts/measure_baseline.py on this machine; re-run that
+script to recalibrate.
+
+Extra diagnostics (PGD steps/sec etc.) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Reference throughput: PyTorch CPU, batch 1, full joint forward at 480x640.
+# Measured on this host via scripts/measure_baseline.py (see BASELINE.md):
+# clean forward 13.59 s/pair (0.0736 pairs/s); PGD-5 attack 513 s/pair.
+BASELINE_PAIRS_PER_SEC = 0.0736
+
+BATCH = 8
+H, W = 480, 640
+STEPS = 5
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from paif_tpu.attack.pgd import AttackConfig, make_attack_both
+    from paif_tpu.genotype import PAIF_GENOTYPE
+    from paif_tpu.models import FusionNetSearched, PAIFJoint
+
+    log(f"devices: {jax.devices()}")
+    model = PAIFJoint(
+        backbone="mit_b3",
+        num_classes=9,
+        fusion=lambda: FusionNetSearched(32, PAIF_GENOTYPE),
+    )
+    rng = np.random.default_rng(0)
+    ir = jnp.asarray(rng.uniform(0, 1, (BATCH, H, W, 1)), jnp.float32)
+    vis = jnp.asarray(rng.uniform(0, 1, (BATCH, H, W, 3)), jnp.float32)
+    t0 = time.perf_counter()
+    variables = model.init(jax.random.PRNGKey(0), ir[:1], vis[:1])
+    log(f"init: {time.perf_counter() - t0:.1f}s")
+
+    # bfloat16 params + inputs: the TPU fast path (f32 parity is tested in CI)
+    bf16 = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
+    )
+    variables_b = dict(variables, params=bf16(variables["params"]))
+    ir_b, vis_b = ir.astype(jnp.bfloat16), vis.astype(jnp.bfloat16)
+
+    fwd = jax.jit(lambda v, i, s: model.apply(v, i, s))
+    t0 = time.perf_counter()
+    fused, seg = jax.block_until_ready(fwd(variables_b, ir_b, vis_b))
+    log(f"compile+first step: {time.perf_counter() - t0:.1f}s  seg={seg.shape} {seg.dtype}")
+
+    times = []
+    for _ in range(STEPS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fwd(variables_b, ir_b, vis_b))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    pairs_per_sec = BATCH / dt
+    log(f"forward: best {dt * 1e3:.1f} ms/batch of {BATCH} -> {pairs_per_sec:.2f} pairs/s")
+
+    # PGD-5 attack throughput (the robust-eval hot loop), diagnostics only
+    try:
+        label = jnp.asarray(rng.integers(0, 9, (BATCH, H, W)), jnp.int32)
+        atk = make_attack_both(
+            lambda v, i, s: model.apply(v, i, s), AttackConfig(iters=5, remat=True)
+        )
+        t0 = time.perf_counter()
+        jax.block_until_ready(atk(variables_b, ir_b, vis_b, label, jax.random.PRNGKey(0)))
+        log(f"pgd-5 compile+run: {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        jax.block_until_ready(atk(variables_b, ir_b, vis_b, label, jax.random.PRNGKey(1)))
+        dt_atk = time.perf_counter() - t0
+        log(
+            f"pgd-5: {dt_atk * 1e3:.1f} ms/batch -> "
+            f"{BATCH * 5 / dt_atk:.2f} attack steps/s, {BATCH / dt_atk:.2f} attacked pairs/s"
+        )
+    except Exception as e:  # diagnostics must not sink the headline metric
+        log(f"pgd bench skipped: {type(e).__name__}: {e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "fused_pairs_per_sec",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Adversarial-Aware Training (AAT) entry point.
+
+The reference does not release training code (README.md:47-48) but ships the
+full loss/optimizer surface; this is the TPU training loop for it: coupled
+clean/perturbed batches with on-the-fly PGD inside the jitted step
+(BASELINE.json config #5).
+
+Usage:
+  python -m paif_tpu.cli.train_aat --synthetic --max_iters 20
+  python -m paif_tpu.cli.train_aat --ir_path ... --vi_path ... --label_path ...
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import numpy as np
+
+from paif_tpu.attack.pgd import AttackConfig
+from paif_tpu.cli.common import (
+    base_parser,
+    build_dataset,
+    build_model,
+    build_variables,
+    config_from_args,
+)
+from paif_tpu.data.pipeline import PrefetchLoader, batch_iterator
+from paif_tpu.losses import FUSION_LOSSES
+from paif_tpu.train.aat import TrainConfig, create_train_state, make_aat_train_step
+
+log = logging.getLogger(__name__)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    p = base_parser(__doc__)
+    p.add_argument("--max_iters", default=None, type=int)
+    p.add_argument("--save_every", default=1000, type=int)
+    p.add_argument("--out", default="./checkpoints/aat", type=str)
+    args = p.parse_args(argv)
+    cfg = config_from_args(args)
+    if args.max_iters is not None:
+        cfg.train.max_iters = args.max_iters
+
+    model = build_model(cfg)
+    dataset = build_dataset(cfg)
+    hw = dataset[0][0].shape[:2]
+    variables = build_variables(cfg, model, hw)
+
+    tcfg = TrainConfig(
+        fusion_weight=cfg.train.fusion_weight,
+        seg_weight=cfg.train.seg_weight,
+        learning_rate=cfg.train.learning_rate,
+        warmup_iter=cfg.train.warmup_iter,
+        max_iter=cfg.train.max_iters,
+        warmup_ratio=cfg.train.warmup_ratio,
+        power=cfg.train.power,
+        weight_decay=cfg.train.weight_decay,
+        attack=AttackConfig(
+            epsilon=cfg.attack.epsilon,
+            alpha=cfg.attack.alpha,
+            iters=cfg.attack.attack_iters,
+            way=cfg.attack.attack_way,
+        ),
+    )
+    state = create_train_state(model, variables, tcfg)
+    step_fn = make_aat_train_step(model, tcfg, FUSION_LOSSES[cfg.train.fusion_loss])
+    key = jax.random.PRNGKey(cfg.seed)
+
+    it = 0
+    t0 = time.time()
+    while it < cfg.train.max_iters:
+        loader = PrefetchLoader(
+            lambda: batch_iterator(dataset, cfg.dataset.batch_size, drop_last=True)
+        )
+        for batch in loader:
+            ir = batch["ir"].astype(np.float32)
+            vis = batch["vis"].astype(np.float32)
+            labels = batch["label"]
+            # mask target: reference AAT uses a decomposition mask; fall back
+            # to max(ir, vis_y) when the dataset carries none.
+            mask = batch.get("mask", np.maximum(ir, vis.mean(-1, keepdims=True)))
+            state, metrics = step_fn(state, ir, vis, mask, labels, jax.random.fold_in(key, it))
+            it += 1
+            if it % 10 == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                log.info("iter %d  %s  (%.2f s)", it, m, time.time() - t0)
+            if it % args.save_every == 0 or it >= cfg.train.max_iters:
+                from paif_tpu.io.checkpoint import save_variables
+
+                save_variables(
+                    f"{args.out}/step_{it}",
+                    {"params": jax.device_get(state.params), "batch_stats": jax.device_get(state.batch_stats)},
+                )
+                log.info("saved checkpoint at iter %d", it)
+            if it >= cfg.train.max_iters:
+                break
+    return state
+
+
+if __name__ == "__main__":
+    main()

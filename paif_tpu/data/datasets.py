@@ -1,0 +1,138 @@
+"""Datasets (NHWC numpy, no torch).
+
+Reference semantics: TaskFusion_dataset2.Fusion_dataset (glob bmp/tif/jpg/png
+sorted; vis RGB /255 float32; ir grayscale /255 (1 channel); int64 labels;
+returns the file name) and util/MF_dataset.py (split-file driven, resized to
+480x640). Unlike the reference, directories are always explicit arguments —
+no hardcoded ./MSRS paths.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+EXTS = ("*.bmp", "*.tif", "*.jpg", "*.png")
+
+
+def prepare_data_path(dataset_path: str) -> Tuple[List[str], List[str]]:
+    """Sorted (paths, filenames) over the reference's extension set."""
+    data: List[str] = []
+    for ext in EXTS:
+        data.extend(glob.glob(os.path.join(dataset_path, ext)))
+    data.sort()
+    names = sorted(os.listdir(dataset_path))
+    return data, names
+
+
+def _load_rgb(path: str) -> np.ndarray:
+    img = np.array(Image.open(path).convert("RGB"), dtype=np.float32) / 255.0
+    return img  # (H,W,3)
+
+
+def _load_gray(path: str) -> np.ndarray:
+    img = np.array(Image.open(path).convert("L"), dtype=np.float32) / 255.0
+    return img[..., None]  # (H,W,1)
+
+
+def _load_label(path: str) -> np.ndarray:
+    return np.array(Image.open(path), dtype=np.int64)
+
+
+class FusionDataset:
+    """(vis (H,W,3), ir (H,W,1), label (H,W) int64, name) items."""
+
+    def __init__(self, ir_path: str, vi_path: str, label_path: Optional[str] = None):
+        self.filepath_vis, self.filenames = prepare_data_path(vi_path)
+        self.filepath_ir, _ = prepare_data_path(ir_path)
+        self.filepath_label = prepare_data_path(label_path)[0] if label_path else None
+        self.length = min(len(self.filepath_vis), len(self.filepath_ir))
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, index: int):
+        vis = _load_rgb(self.filepath_vis[index])
+        ir = _load_gray(self.filepath_ir[index])
+        if self.filepath_label is not None:
+            label = _load_label(self.filepath_label[index])
+        else:
+            label = np.zeros(vis.shape[:2], dtype=np.int64)
+        name = os.path.basename(self.filepath_vis[index])
+        return vis, ir, label, name
+
+
+class FusionMetaDataset:
+    """AAT coupled loader (TaskFusion_dataset2.Fusion_dataset_Meta:110-214):
+    perturbed + original image pairs and a float mask target, random
+    crop_size x crop_size crops. Items:
+    (vis, ir, vis_orig, ir_orig, mask (H,W,1) float, name)."""
+
+    def __init__(
+        self,
+        ir_path: str,
+        vi_path: str,
+        mask_path: str,
+        ir_orig_path: str,
+        vi_orig_path: str,
+        crop_size: int = 256,
+        seed: int = 0,
+    ):
+        self.filepath_vis, self.filenames = prepare_data_path(vi_path)
+        self.filepath_ir, _ = prepare_data_path(ir_path)
+        self.filepath_mask, _ = prepare_data_path(mask_path)
+        self.filepath_iro, _ = prepare_data_path(ir_orig_path)
+        self.filepath_viso, _ = prepare_data_path(vi_orig_path)
+        self.crop = crop_size
+        self.rng = np.random.default_rng(seed)
+        self.length = min(len(self.filepath_vis), len(self.filepath_ir))
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, index: int):
+        vis = _load_rgb(self.filepath_vis[index])
+        ir = _load_gray(self.filepath_ir[index])
+        viso = _load_rgb(self.filepath_viso[index])
+        iro = _load_gray(self.filepath_iro[index])
+        mask = _load_gray(self.filepath_mask[index])
+        h_max, w_max = vis.shape[0] - self.crop, vis.shape[1] - self.crop
+        h = int(self.rng.integers(0, max(h_max, 1)))
+        w = int(self.rng.integers(0, max(w_max, 1)))
+        sl = np.s_[h : h + self.crop, w : w + self.crop]
+        name = os.path.basename(self.filepath_vis[index])
+        return vis[sl], ir[sl], viso[sl], iro[sl], mask[sl], name
+
+
+class MFDataset:
+    """MFNet split-file dataset (util/MF_dataset.py:9-48): reads
+    <data_dir>/<split>.txt name lists; images from <data_dir>/images,
+    labels from <data_dir>/labels, resized to (480, 640)."""
+
+    def __init__(self, data_dir: str, split: str, input_hw: Tuple[int, int] = (480, 640)):
+        with open(os.path.join(data_dir, split + ".txt")) as f:
+            self.names = [ln.strip() for ln in f if ln.strip()]
+        self.data_dir = data_dir
+        self.input_hw = input_hw
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def __getitem__(self, index: int):
+        name = self.names[index]
+        h, w = self.input_hw
+        img = Image.open(os.path.join(self.data_dir, "images", name + ".png"))
+        lab = Image.open(os.path.join(self.data_dir, "labels", name + ".png"))
+        img = np.array(img.resize((w, h), Image.BILINEAR), dtype=np.float32) / 255.0
+        lab = np.array(lab.resize((w, h), Image.NEAREST), dtype=np.int64)
+        # MFNet 4-channel images: RGB + thermal
+        vis = img[..., :3]
+        if img.ndim == 3 and img.shape[-1] >= 4:
+            ir = img[..., 3:4]
+        else:
+            ir = img[..., :1]
+        return vis, ir, lab, name

@@ -1,0 +1,173 @@
+"""Batched evaluation harness: clean and adversarially-robust joint-model
+evaluation with on-device metrics.
+
+Replaces the reference's per-image python loops (test_original.py
+val_segformer_robust2 :98-258, robust_test.py val_segformer_robust :95-239)
+with ONE jitted step per batch: [PGD attack ->] forward -> upsample ->
+argmax -> confusion-matrix bincount, sharded over the mesh when given.
+Only final images (optional) and the 9x9 matrix reach the host.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paif_tpu.attack.pgd import AttackConfig, make_attack_both, make_attack_single
+from paif_tpu.data.pipeline import PrefetchLoader, batch_iterator
+from paif_tpu.eval.metrics import confusion_matrix, compute_results, summarize
+from paif_tpu.eval.palette import colorize
+from paif_tpu.ops.color import clip01, recombine_chroma, rgb_to_ycrcb, ycrcb_to_rgb
+from paif_tpu.ops.resize import resize_bilinear
+from paif_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+
+@dataclass
+class EvalConfig:
+    batch_size: int = 8
+    num_classes: int = 9
+    attack: Optional[AttackConfig] = None  # None -> clean eval
+    save_dir: Optional[str] = None  # write fused/seg/attacked PNGs if set
+    strategy: str = "meta_final"
+    use_mesh: bool = True
+    seed: int = 0
+    extra: dict = field(default_factory=dict)
+
+
+def fused_to_uint8(fused_y: jnp.ndarray, vis_rgb: jnp.ndarray) -> jnp.ndarray:
+    """The reference's fused-image save chain (robust_test.py:181-200):
+    recombine chroma -> RGB -> clip [0,1] -> scale to uint8 -> min-max over
+    the uint8 values -> uint8 again. Per-image (batch-1 parity)."""
+    rgb = clip01(ycrcb_to_rgb(recombine_chroma(fused_y, rgb_to_ycrcb(vis_rgb))))
+    u8 = jnp.floor(rgb * 255.0)
+    lo = jnp.min(u8, axis=(1, 2, 3), keepdims=True)
+    hi = jnp.max(u8, axis=(1, 2, 3), keepdims=True)
+    out = (u8 - lo) / jnp.maximum(hi - lo, 1.0)
+    return (out * 255.0).astype(jnp.uint8)
+
+
+def make_eval_step(model, cfg: EvalConfig):
+    """Jitted fn(variables, ir, vis, label, valid, key) -> outputs dict."""
+
+    apply_fn = lambda v, i, s: model.apply(v, i, s)  # noqa: E731
+    attacker = None
+    if cfg.attack is not None:
+        if cfg.attack.mode == "both":
+            attacker = make_attack_both(apply_fn, cfg.attack)
+        else:
+            attacker = make_attack_single(apply_fn, cfg.attack, target=cfg.attack.mode)
+
+    @jax.jit
+    def step(variables, ir, vis, label, valid, key):
+        if attacker is not None:
+            if cfg.attack.mode == "both":
+                d_ir, d_vis = attacker(variables, ir, vis, label, key)
+                ir = ir + d_ir
+                vis = vis + d_vis
+            elif cfg.attack.mode == "ir":
+                ir = ir + attacker(variables, ir, vis, label, key)
+            else:
+                vis = vis + attacker(variables, ir, vis, label, key)
+        fused, seg = apply_fn(variables, ir, vis)
+        logits = resize_bilinear(seg, label.shape[1:3], align_corners=False)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # padded rows must not pollute the confusion matrix
+        masked_label = jnp.where(valid[:, None, None], label, 255)
+        conf = confusion_matrix(masked_label, pred, cfg.num_classes)
+        return {
+            "conf": conf,
+            "pred": pred,
+            "fused_u8": fused_to_uint8(fused, vis),
+            "ir_attacked": ir,
+            "vis_attacked": vis,
+        }
+
+    return step
+
+
+def _save_outputs(cfg: EvalConfig, out: Dict, names, valid: np.ndarray) -> None:
+    from PIL import Image
+
+    root = cfg.save_dir
+    dirs = {
+        "fused": os.path.join(root, "fused_attacked" if cfg.attack else "fused"),
+        "seg": os.path.join(root, "seg_attacked" if cfg.attack else "seg"),
+    }
+    if cfg.attack is not None:
+        dirs["ir"] = os.path.join(root, "ir_attacked")
+        dirs["vis"] = os.path.join(root, "vis_attacked")
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    fused = np.asarray(out["fused_u8"])
+    pred = np.asarray(out["pred"])
+    ir_a = np.asarray(out["ir_attacked"])
+    vis_a = np.asarray(out["vis_attacked"])
+    for k, name in enumerate(names):
+        if not valid[k]:
+            continue
+        Image.fromarray(fused[k]).save(os.path.join(dirs["fused"], name))
+        Image.fromarray(colorize(pred[k])).save(os.path.join(dirs["seg"], name))
+        if cfg.attack is not None:
+            Image.fromarray((ir_a[k, ..., 0] * 255).astype(np.uint8)).save(
+                os.path.join(dirs["ir"], name)
+            )
+            Image.fromarray((vis_a[k] * 255).astype(np.uint8)).save(
+                os.path.join(dirs["vis"], name)
+            )
+
+
+def run_eval(model, variables, dataset, cfg: EvalConfig) -> Dict[str, float]:
+    """Evaluate over a (vis, ir, label, name) dataset; returns summary metrics
+    and (optionally) writes images + the reference-format report txt."""
+    mesh = make_mesh() if cfg.use_mesh and len(jax.devices()) > 1 else None
+    if mesh is not None:
+        variables = replicate(mesh, variables)
+    step = make_eval_step(model, cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    conf_total = np.zeros((cfg.num_classes, cfg.num_classes), dtype=np.int64)
+    loader = PrefetchLoader(lambda: batch_iterator(dataset, cfg.batch_size))
+    for bidx, batch in enumerate(loader):
+        ir = batch["ir"].astype(np.float32)
+        vis = batch["vis"].astype(np.float32)
+        label = batch["label"]
+        valid = batch["valid"]
+        if mesh is not None:
+            ir, vis, label, valid = shard_batch(mesh, (ir, vis, label, valid))
+        out = step(variables, ir, vis, label, valid, jax.random.fold_in(key, bidx))
+        conf_total += np.asarray(out["conf"])
+        if cfg.save_dir:
+            _save_outputs(cfg, out, batch["name"], np.asarray(batch["valid"]))
+
+    metrics = summarize(conf_total)
+    if cfg.save_dir:
+        _write_report(cfg, conf_total)
+    return metrics
+
+
+def _write_report(cfg: EvalConfig, conf_total: np.ndarray) -> None:
+    """Reference report format (robust_test.py:217-231)."""
+    precision, _recall, iou = compute_results(conf_total)
+    a = cfg.attack or AttackConfig(iters=0, epsilon=0.0, alpha=0.0)
+    name = f"{cfg.strategy}_PGD{a.iters}_{int(a.epsilon * 255)}_{int(a.alpha * 255)}.txt"
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    with open(os.path.join(cfg.save_dir, name), "w") as f:
+        print("\n strategy :" + cfg.strategy, file=f)
+        print(
+            f"\n Attack Loss{a.loss}, Attack way{a.way}, Attack iters{a.iters}, "
+            f"epsilon={int(a.epsilon * 255)}, alpha={int(a.alpha * 255)}",
+            file=f,
+        )
+        fmt = lambda v: "\t".join("%.6f" % x for x in v)  # noqa: E731
+        print("*precision_per_class: \n    " + fmt(precision) + "\t%.6f" % np.mean(np.nan_to_num(precision)), file=f)
+        print("* iou per class: \n    " + fmt(iou) + "\t%.6f" % np.mean(np.nan_to_num(iou)), file=f)
+        print(
+            "* average values (np.mean(np.nan_to_num(x))) remove unlabel: \n ACC: %.6f, iou: %.6f"
+            % (np.mean(np.nan_to_num(precision[1:])), np.mean(np.nan_to_num(iou[1:]))),
+            file=f,
+        )

@@ -1,0 +1,38 @@
+"""Orbax checkpointing: save/restore model variables (and train state).
+
+The reference only ever torch.load()s (robust_test.py:263); saving/resume is
+a gap we fill. Torch .pth import lives in paif_tpu.io.torch_import.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_variables(path: str, variables: Any) -> None:
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckpt:
+        ckpt.save(path, jax.device_get(variables))
+
+
+def load_variables(path: str, template: Optional[Any] = None) -> Any:
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckpt:
+        if template is not None:
+            return ckpt.restore(path, template)
+        return ckpt.restore(path)
+
+
+def load_any_checkpoint(path: str, entries=None, template=None) -> Any:
+    """Dispatch: .pth -> torch importer (needs `entries`); dir -> orbax."""
+    if path.endswith((".pth", ".pt")):
+        from paif_tpu.io.torch_import import load_torch_state_dict, to_flax_variables
+
+        if entries is None:
+            raise ValueError("importing a torch checkpoint requires a key-mapping entries list")
+        return to_flax_variables(load_torch_state_dict(path), entries, template)
+    return load_variables(path, template)

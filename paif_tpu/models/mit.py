@@ -16,13 +16,14 @@ a fused Pallas path is provided in paif_tpu.ops.pallas for the hot stages.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from paif_tpu.nn.layers import PRECISION
+from paif_tpu.ops.pallas.sr_attention import pallas_attention_enabled, sr_attention
 
 
 def _gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -46,12 +47,17 @@ class DropPath(nn.Module):
 
 
 class SRAttention(nn.Module):
-    """Attention with spatial reduction of K/V (mix_transformer.py:56-115)."""
+    """Attention with spatial reduction of K/V (mix_transformer.py:56-115).
+
+    use_pallas=None -> auto: the fused Pallas kernel on TPU (keeps the NxM
+    score matrix in VMEM), plain einsums elsewhere.
+    """
 
     dim: int
     num_heads: int
     sr_ratio: int = 1
     qkv_bias: bool = True
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
@@ -84,9 +90,19 @@ class SRAttention(nn.Module):
         kv = kv.reshape(b, m, 2, nh, hd).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, precision=PRECISION) * scale
-        attn = nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, precision=PRECISION)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = pallas_attention_enabled()
+        if use_pallas:
+            m_len = k.shape[2]
+            out = sr_attention(
+                q.reshape(b * nh, n, hd), k.reshape(b * nh, m_len, hd),
+                v.reshape(b * nh, m_len, hd), scale,
+            ).reshape(b, nh, n, hd)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, precision=PRECISION) * scale
+            attn = nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, precision=PRECISION)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return nn.Dense(c, precision=PRECISION, name="proj")(out)
 

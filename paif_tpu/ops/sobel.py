@@ -8,15 +8,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_KX = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
-_KY = jnp.array([[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]])
+# numpy (not jnp) so importing this module never initializes a JAX backend
+_KX = np.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], np.float32)
+_KY = np.array([[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]], np.float32)
 
 
 def _depthwise3x3(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """Apply one 3x3 kernel depthwise to NHWC input with zero padding."""
     c = x.shape[-1]
-    kern = jnp.tile(k.astype(x.dtype)[:, :, None, None], (1, 1, 1, c))  # HWIO, I=1 per group
+    kern = jnp.tile(jnp.asarray(k, x.dtype)[:, :, None, None], (1, 1, 1, c))  # HWIO, I=1 per group
     return jax.lax.conv_general_dilated(
         x,
         kern,

@@ -1,0 +1,17 @@
+"""Device-mesh parallelism: sharding helpers for data-parallel eval/train."""
+
+from paif_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    data_sharding,
+    replicated_sharding,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "data_sharding",
+    "replicated_sharding",
+]

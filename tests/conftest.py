@@ -1,9 +1,10 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Multi-chip TPU hardware is not available in CI; sharding tests run against
-XLA's host-platform device simulation instead (same SPMD partitioner).
-Must be set before jax initializes its backends, hence the env mutation at
-import time.
+XLA's host-platform device simulation (same SPMD partitioner). Env vars are
+not enough here — this image's sitecustomize registers a TPU plugin at
+interpreter start — so we force the platform through jax.config before any
+backend initialization.
 """
 
 import os
@@ -16,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+try:  # no-op if the backend is already initialized (e.g. by a plugin)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:  # pragma: no cover
+    pass
 
 # Persistent compile cache: first full run is slow on this box; re-runs are not.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
