@@ -8,6 +8,7 @@ from flax import linen as nn
 
 from paif_tpu.genotype import PAIF_GENOTYPE
 from paif_tpu.models.fusion_searched import FusionNetSearched
+from paif_tpu.models.zoo.bffusion import BFFR
 from paif_tpu.models.zoo.fusion_zoo import (
     DID,
     FusionAdd,
@@ -26,6 +27,7 @@ FUSION_ZOO: Dict[str, Callable[[], nn.Module]] = {
     "sdnet": SDNet,
     "reconet": ReCoNet,
     "did": DID,  # AUIF
+    "bffusion": BFFR,
     "add": FusionAdd,
     "average": FusionAverage,
     "max": FusionMax,
