@@ -63,15 +63,22 @@ def main():
     variables_b = dict(variables, params=bf16(variables["params"]))
     ir_b, vis_b = ir.astype(jnp.bfloat16), vis.astype(jnp.bfloat16)
 
-    fwd = jax.jit(lambda v, i, s: model.apply(v, i, s))
+    # The jitted step reduces its outputs to ONE scalar that we read back to
+    # host each iteration: a hard synchronization point that works even on
+    # remote-tunnel platforms where block_until_ready returns early.
+    @jax.jit
+    def fwd(v, i, s):
+        fused, seg = model.apply(v, i, s)
+        return jnp.sum(fused.astype(jnp.float32)) + jnp.sum(seg.astype(jnp.float32))
+
     t0 = time.perf_counter()
-    fused, seg = jax.block_until_ready(fwd(variables_b, ir_b, vis_b))
-    log(f"compile+first step: {time.perf_counter() - t0:.1f}s  seg={seg.shape} {seg.dtype}")
+    first = float(fwd(variables_b, ir_b, vis_b))
+    log(f"compile+first step: {time.perf_counter() - t0:.1f}s  checksum={first:.3f}")
 
     times = []
     for _ in range(STEPS):
         t0 = time.perf_counter()
-        jax.block_until_ready(fwd(variables_b, ir_b, vis_b))
+        float(fwd(variables_b, ir_b, vis_b))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     pairs_per_sec = BATCH / dt
@@ -83,11 +90,16 @@ def main():
         atk = make_attack_both(
             lambda v, i, s: model.apply(v, i, s), AttackConfig(iters=5, remat=True)
         )
+
+        def run_atk(key):
+            d_ir, d_vis = atk(variables_b, ir_b, vis_b, label, key)
+            return float(jnp.sum(d_ir.astype(jnp.float32)) + jnp.sum(d_vis.astype(jnp.float32)))
+
         t0 = time.perf_counter()
-        jax.block_until_ready(atk(variables_b, ir_b, vis_b, label, jax.random.PRNGKey(0)))
+        run_atk(jax.random.PRNGKey(0))
         log(f"pgd-5 compile+run: {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
-        jax.block_until_ready(atk(variables_b, ir_b, vis_b, label, jax.random.PRNGKey(1)))
+        run_atk(jax.random.PRNGKey(1))
         dt_atk = time.perf_counter() - t0
         log(
             f"pgd-5: {dt_atk * 1e3:.1f} ms/batch -> "

@@ -18,6 +18,13 @@ from paif_tpu.losses.fusion import (
     laplacian_pyramid_loss,
     FUSION_LOSSES,
 )
+from paif_tpu.losses.detection import (
+    fcos_loss,
+    gen_targets,
+    focal_loss_from_logits,
+    iou_loss_elems,
+    giou_loss_elems,
+)
 from paif_tpu.losses.seg import (
     ohem_ce_loss,
     softmax_focal_loss,
@@ -41,6 +48,11 @@ __all__ = [
     "iqa_loss",
     "laplacian_pyramid_loss",
     "FUSION_LOSSES",
+    "fcos_loss",
+    "gen_targets",
+    "focal_loss_from_logits",
+    "iou_loss_elems",
+    "giou_loss_elems",
     "ohem_ce_loss",
     "softmax_focal_loss",
     "normal_loss",

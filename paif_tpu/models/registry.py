@@ -8,6 +8,10 @@ from flax import linen as nn
 
 from paif_tpu.genotype import PAIF_GENOTYPE
 from paif_tpu.models.fusion_searched import FusionNetSearched
+from paif_tpu.models.fusion_ablation import (
+    FusionNetworkDRDB,
+    TwoStreamFusion,
+)
 from paif_tpu.models.zoo.bffusion import BFFR
 from paif_tpu.models.zoo.fusion_zoo import (
     DID,
@@ -28,6 +32,13 @@ FUSION_ZOO: Dict[str, Callable[[], nn.Module]] = {
     "reconet": ReCoNet,
     "did": DID,  # AUIF
     "bffusion": BFFR,
+    "drdb": FusionNetworkDRDB,
+    "auto_concat": lambda: TwoStreamFusion(aggregate="concat"),
+    "auto_add": lambda: TwoStreamFusion(aggregate="add"),
+    "auto_average": lambda: TwoStreamFusion(aggregate="average"),
+    "auto_max": lambda: TwoStreamFusion(aggregate="max"),
+    "auto_spa": lambda: TwoStreamFusion(aggregate="spa"),
+    "auto_direct": lambda: TwoStreamFusion(aggregate="direct"),
     "add": FusionAdd,
     "average": FusionAverage,
     "max": FusionMax,

@@ -12,7 +12,7 @@ from paif_tpu.models.registry import FUSION_ZOO, seg_zoo
 H, W = 32, 32
 
 
-@pytest.mark.parametrize("name", ["u2fusion", "seafusion", "sdnet", "reconet", "did", "bffusion", "add", "average", "max"])
+@pytest.mark.parametrize("name", ["u2fusion", "seafusion", "sdnet", "reconet", "did", "bffusion", "drdb", "auto_concat", "auto_spa", "add", "average", "max"])
 def test_fusion_zoo_shapes(rng, name):
     model = FUSION_ZOO[name]()
     ir = jnp.asarray(rng.uniform(0, 1, (1, H, W, 1)), jnp.float32)
