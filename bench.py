@@ -27,6 +27,7 @@ import numpy as np
 BASELINE_PAIRS_PER_SEC = 0.0736
 
 BATCH = 8
+INIT_HW = (64, 64)  # param shapes are resolution-independent; init small, run big
 H, W = 480, 640
 STEPS = 5
 
@@ -52,8 +53,15 @@ def main():
     rng = np.random.default_rng(0)
     ir = jnp.asarray(rng.uniform(0, 1, (BATCH, H, W, 1)), jnp.float32)
     vis = jnp.asarray(rng.uniform(0, 1, (BATCH, H, W, 3)), jnp.float32)
+    import os
+    os.environ.setdefault("PAIF_PRECISION", "default")  # bf16 fast path
     t0 = time.perf_counter()
-    variables = model.init(jax.random.PRNGKey(0), ir[:1], vis[:1])
+    ih, iw = INIT_HW
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, ih, iw, 1), jnp.float32),
+        jnp.zeros((1, ih, iw, 3), jnp.float32),
+    )
     log(f"init: {time.perf_counter() - t0:.1f}s")
 
     # bfloat16 params + inputs: the TPU fast path (f32 parity is tested in CI)

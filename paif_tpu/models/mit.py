@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from paif_tpu.nn.layers import PRECISION
+from paif_tpu.nn.layers import get_precision
 from paif_tpu.ops.pallas.sr_attention import pallas_attention_enabled, sr_attention
 
 
@@ -67,7 +67,7 @@ class SRAttention(nn.Module):
         hd = c // nh
         scale = hd**-0.5
 
-        q = nn.Dense(c, use_bias=self.qkv_bias, precision=PRECISION, name="q")(x)
+        q = nn.Dense(c, use_bias=self.qkv_bias, precision=get_precision(), name="q")(x)
         q = q.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
 
         kv_in = x
@@ -79,13 +79,13 @@ class SRAttention(nn.Module):
                 kernel_size=(r, r),
                 strides=(r, r),
                 padding="VALID",
-                precision=PRECISION,
+                precision=get_precision(),
                 name="sr",
             )(xs)
             kv_in = xs.reshape(b, -1, c)
             kv_in = nn.LayerNorm(epsilon=1e-5, name="sr_norm")(kv_in)
 
-        kv = nn.Dense(c * 2, use_bias=self.qkv_bias, precision=PRECISION, name="kv")(kv_in)
+        kv = nn.Dense(c * 2, use_bias=self.qkv_bias, precision=get_precision(), name="kv")(kv_in)
         m = kv.shape[1]
         kv = kv.reshape(b, m, 2, nh, hd).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
@@ -100,11 +100,11 @@ class SRAttention(nn.Module):
                 v.reshape(b * nh, m_len, hd), scale,
             ).reshape(b, nh, n, hd)
         else:
-            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, precision=PRECISION) * scale
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, precision=get_precision()) * scale
             attn = nn.softmax(attn, axis=-1)
-            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, precision=PRECISION)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, precision=get_precision())
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-        return nn.Dense(c, precision=PRECISION, name="proj")(out)
+        return nn.Dense(c, precision=get_precision(), name="proj")(out)
 
 
 class MixFFN(nn.Module):
@@ -117,7 +117,7 @@ class MixFFN(nn.Module):
     def __call__(self, x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
         b, n, c = x.shape
         h, w = hw
-        x = nn.Dense(self.hidden, precision=PRECISION, name="fc1")(x)
+        x = nn.Dense(self.hidden, precision=get_precision(), name="fc1")(x)
         xs = x.reshape(b, h, w, self.hidden)
         xs = nn.Conv(
             self.hidden,
@@ -125,12 +125,12 @@ class MixFFN(nn.Module):
             padding=[(1, 1), (1, 1)],
             feature_group_count=self.hidden,
             use_bias=True,
-            precision=PRECISION,
+            precision=get_precision(),
             name="dwconv",
         )(xs)
         x = xs.reshape(b, n, self.hidden)
         x = _gelu(x)
-        return nn.Dense(self.dim, precision=PRECISION, name="fc2")(x)
+        return nn.Dense(self.dim, precision=get_precision(), name="fc2")(x)
 
 
 class Block(nn.Module):
@@ -164,7 +164,7 @@ class OverlapPatchEmbed(nn.Module):
             strides=(self.stride, self.stride),
             padding=[(p, p), (p, p)],
             use_bias=True,
-            precision=PRECISION,
+            precision=get_precision(),
             name="proj",
         )(x)
         b, h, w, c = x.shape

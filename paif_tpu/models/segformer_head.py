@@ -13,7 +13,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from paif_tpu.nn.layers import PRECISION, BatchNorm
+from paif_tpu.nn.layers import get_precision, BatchNorm
 from paif_tpu.ops.resize import resize_bilinear
 
 
@@ -31,7 +31,7 @@ class SegFormerHead(nn.Module):
         for idx in (3, 2, 1, 0):
             f = feats[idx]
             e = nn.Dense(
-                self.embedding_dim, precision=PRECISION, name=f"linear_c{idx + 1}"
+                self.embedding_dim, precision=get_precision(), name=f"linear_c{idx + 1}"
             )(f)
             if idx != 0:
                 e = resize_bilinear(e, target_hw, align_corners=False)
@@ -41,7 +41,7 @@ class SegFormerHead(nn.Module):
             self.embedding_dim,
             kernel_size=(1, 1),
             use_bias=False,
-            precision=PRECISION,
+            precision=get_precision(),
             name="linear_fuse",
         )(x)
         x = BatchNorm(name="fuse_norm")(x, use_running_average=not train)
@@ -51,6 +51,6 @@ class SegFormerHead(nn.Module):
             self.num_classes,
             kernel_size=(1, 1),
             use_bias=True,
-            precision=PRECISION,
+            precision=get_precision(),
             name="linear_pred",
         )(x)

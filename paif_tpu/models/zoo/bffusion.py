@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from paif_tpu.nn.layers import PRECISION, BatchNorm
+from paif_tpu.nn.layers import get_precision, BatchNorm
 
 
 def _reflect_conv(x, features, kernel, name_scope, bias=True):
@@ -27,7 +27,7 @@ def _reflect_conv(x, features, kernel, name_scope, bias=True):
         x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
     return nn.Conv(
         features, (kernel, kernel), padding="VALID", use_bias=bias,
-        precision=PRECISION, name=name_scope,
+        precision=get_precision(), name=name_scope,
     )(x)
 
 
@@ -56,7 +56,7 @@ class DenseBlockBF(nn.Module):
             y = nn.Conv(
                 feats, (self.kernel, self.kernel),
                 padding=[(self.kernel // 2,) * 2] * 2, use_bias=True,
-                precision=PRECISION, name=name,
+                precision=get_precision(), name=name,
             )(y)
             return jnp.where(y >= 0, y, 0.2 * y)
 
@@ -64,7 +64,7 @@ class DenseBlockBF(nn.Module):
         cat1 = jnp.concatenate([x, x1], -1)
         x2 = clr(cat1, c, "conv2")
         cat2 = jnp.concatenate([cat1, x2], -1)
-        down = nn.Conv(self.features, (1, 1), use_bias=True, precision=PRECISION, name="conv_down")(cat2)
+        down = nn.Conv(self.features, (1, 1), use_bias=True, precision=get_precision(), name="conv_down")(cat2)
         return jnp.where(down >= 0, down, 0.1 * down)
 
 
@@ -86,19 +86,19 @@ class BFSelfAttention(nn.Module):
         n = h * w
         hd = c // self.num_heads
         tokens = x.reshape(b, n, c)
-        q = nn.Dense(c, use_bias=False, precision=PRECISION, name="wq1")(tokens)
-        k = nn.Dense(c, use_bias=False, precision=PRECISION, name="wk1")(tokens)
-        v = nn.Dense(c, use_bias=False, precision=PRECISION, name="wv1")(tokens)
+        q = nn.Dense(c, use_bias=False, precision=get_precision(), name="wq1")(tokens)
+        k = nn.Dense(c, use_bias=False, precision=get_precision(), name="wk1")(tokens)
+        v = nn.Dense(c, use_bias=False, precision=get_precision(), name="wv1")(tokens)
 
         def heads(t):
             return t.reshape(b, n, self.num_heads, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        ctx = jnp.einsum("bhnd,bhne->bhde", q, k, precision=PRECISION) * (hd**-0.5)
+        ctx = jnp.einsum("bhnd,bhne->bhde", q, k, precision=get_precision()) * (hd**-0.5)
         ctx = jax.nn.softmax(ctx, axis=-2)
-        out = jnp.einsum("bhnd,bhde->bhne", v, ctx, precision=PRECISION)
+        out = jnp.einsum("bhnd,bhde->bhne", v, ctx, precision=get_precision())
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-        out = nn.Dense(c, use_bias=True, precision=PRECISION, name="end_proj1")(out)
+        out = nn.Dense(c, use_bias=True, precision=get_precision(), name="end_proj1")(out)
         out = nn.LayerNorm(name="norm1")(out).reshape(b, h, w, c)
         out = f_conv(f_conv(out, "ffn0"), "ffn1")
         return skip + skip * out

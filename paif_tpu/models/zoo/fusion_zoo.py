@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from paif_tpu.nn.layers import PRECISION, BatchNorm, Conv, PReLU
+from paif_tpu.nn.layers import get_precision, BatchNorm, Conv, PReLU
 
 
 def _lrelu(x, slope=0.2):
@@ -75,11 +75,11 @@ class _RGBD(nn.Module):
 
         gx = nn.Conv(
             c, (3, 3), padding=[(1, 1), (1, 1)], feature_group_count=c, use_bias=False,
-            kernel_init=sobel_init(sobel), precision=PRECISION, name="sobel_x",
+            kernel_init=sobel_init(sobel), precision=get_precision(), name="sobel_x",
         )(x)
         gy = nn.Conv(
             c, (3, 3), padding=[(1, 1), (1, 1)], feature_group_count=c, use_bias=False,
-            kernel_init=sobel_init(sobel.T), precision=PRECISION, name="sobel_y",
+            kernel_init=sobel_init(sobel.T), precision=get_precision(), name="sobel_y",
         )(x)
         x2 = Conv(self.out_ch, 1, use_bias=True, name="convup")(jnp.abs(gx) + jnp.abs(gy))
         return _lrelu(x1 + x2, 0.1)

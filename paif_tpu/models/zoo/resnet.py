@@ -19,7 +19,7 @@ from typing import List, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from paif_tpu.nn.layers import PRECISION, BatchNorm
+from paif_tpu.nn.layers import get_precision, BatchNorm
 
 
 def _conv(features, kernel, stride=1, name=None):
@@ -30,7 +30,7 @@ def _conv(features, kernel, stride=1, name=None):
         strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         use_bias=False,
-        precision=PRECISION,
+        precision=get_precision(),
         name=name,
     )
 

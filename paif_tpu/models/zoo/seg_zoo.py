@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from paif_tpu.nn.layers import PRECISION, BatchNorm
+from paif_tpu.nn.layers import get_precision, BatchNorm
 from paif_tpu.models.zoo.resnet import ResNet50Backbone
 from paif_tpu.ops.resize import resize_bilinear
 
@@ -38,7 +38,7 @@ def _conv(features, kernel, stride=1, dilation=1, bias=False, name=None):
         padding=[(pad, pad), (pad, pad)],
         kernel_dilation=(dilation, dilation),
         use_bias=bias,
-        precision=PRECISION,
+        precision=get_precision(),
         name=name,
     )
 
@@ -71,11 +71,11 @@ class CorrelationModule(nn.Module):
         b, h, w, c = exemplar.shape
         ex = exemplar.reshape(b, h * w, c)
         qu = query.reshape(b, h * w, c).transpose(0, 2, 1)  # (B,C,N)
-        ex_corr = nn.Dense(c, use_bias=False, precision=PRECISION, name="linear_e")(ex)
-        a = jnp.einsum("bnc,bcm->bnm", ex_corr, qu, precision=PRECISION)  # (B,N,N)
+        ex_corr = nn.Dense(c, use_bias=False, precision=get_precision(), name="linear_e")(ex)
+        a = jnp.einsum("bnc,bcm->bnm", ex_corr, qu, precision=get_precision())  # (B,N,N)
         # reference: softmax(transpose(A,1,2), dim=1) then bmm(query_flat, B)
         bmat = jax.nn.softmax(a.transpose(0, 2, 1), axis=1)
-        att = jnp.einsum("bcm,bmn->bcn", qu, bmat, precision=PRECISION)
+        att = jnp.einsum("bcm,bmn->bcn", qu, bmat, precision=get_precision())
         att = att.transpose(0, 2, 1).reshape(b, h, w, c)
         return BasicConv2dLN(c, name="fusion")(att, train)
 
@@ -106,10 +106,10 @@ class ChannelAttnTorchCAM(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         flat = x.reshape(b, h * w, c).transpose(0, 2, 1)  # (B,C,N)
-        energy = jnp.einsum("bcn,bdn->bcd", flat, flat, precision=PRECISION)
+        energy = jnp.einsum("bcn,bdn->bcd", flat, flat, precision=get_precision())
         energy_new = jnp.max(energy, axis=-1, keepdims=True) - energy
         attn = jax.nn.softmax(energy_new, axis=-1)
-        out = jnp.einsum("bcd,bdn->bcn", attn, flat, precision=PRECISION)
+        out = jnp.einsum("bcd,bdn->bcn", attn, flat, precision=get_precision())
         out = out.transpose(0, 2, 1).reshape(b, h, w, c)
         gamma = self.param("gamma", nn.initializers.zeros, (1,))
         return gamma * out + x
@@ -299,12 +299,12 @@ class AsymDilationConvB(nn.Module):
         pad = (k - 1) // 2
         x = nn.Conv(
             self.features, (1, k), padding=[(0, 0), (pad, pad)], use_bias=False,
-            precision=PRECISION, name="conv_1k",
+            precision=get_precision(), name="conv_1k",
         )(x)
         x = BatchNorm(name="bn_1k")(x, use_running_average=not train)
         x = nn.Conv(
             self.features, (k, 1), padding=[(pad, pad), (0, 0)], use_bias=False,
-            precision=PRECISION, name="conv_k1",
+            precision=get_precision(), name="conv_k1",
         )(x)
         x = BatchNorm(name="bn_k1")(x, use_running_average=not train)
         x = _conv(self.features, 3, dilation=d, name="conv_d")(x)

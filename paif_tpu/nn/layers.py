@@ -20,7 +20,24 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import os
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+# Back-compat constant: the f32-parity default.
 PRECISION = jax.lax.Precision.HIGHEST
+
+
+def get_precision() -> jax.lax.Precision:
+    """Matmul/conv precision policy. 'highest' (default) is exact in f32 —
+    required for reference parity — and costs multi-pass emulation when
+    activations are f32 on TPU. Throughput runs with bf16 params/activations
+    should set PAIF_PRECISION=default: a single MXU pass, same bf16 numerics.
+    Read per call so benchmarks can flip it without re-importing."""
+    return _PRECISIONS[os.environ.get("PAIF_PRECISION", "highest").lower()]
 
 
 def conv_padding(kernel_size: int, dilation: int = 1) -> int:
@@ -50,7 +67,7 @@ def Conv(
         kernel_dilation=(dilation, dilation),
         feature_group_count=groups,
         use_bias=use_bias,
-        precision=PRECISION,
+        precision=get_precision(),
         name=name,
     )
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from paif_tpu.nn.layers import (
-    PRECISION,
+    get_precision,
     BasicConv,
     BatchNorm,
     Conv,
@@ -79,7 +79,7 @@ class ECALayer(nn.Module):
             kernel_size=(self.kernel_size,),
             padding=[((self.kernel_size - 1) // 2,) * 2],
             use_bias=False,
-            precision=PRECISION,
+            precision=get_precision(),
             name="conv1d",
         )(y[..., None])[..., 0]
         gate = nn.sigmoid(y)[:, None, None, :]
@@ -184,19 +184,19 @@ class SelfPath(nn.Module):
         res = prelu(Conv(c, 3, use_bias=True, name="conv_in")(x))
         tokens = res.reshape(b, h * w, c)
         inner = self.dim_head * self.num_heads
-        qkv = nn.Dense(inner * 3, use_bias=False, precision=PRECISION, name="to_qkv")(tokens)
+        qkv = nn.Dense(inner * 3, use_bias=False, precision=get_precision(), name="to_qkv")(tokens)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
             return t.reshape(b, h * w, self.num_heads, self.dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, precision=PRECISION) * (self.dim_head**-0.5)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, precision=get_precision()) * (self.dim_head**-0.5)
         attn = nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, precision=PRECISION)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, precision=get_precision())
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, inner)
         if not (self.num_heads == 1 and self.dim_head == c):
-            out = nn.Dense(c, precision=PRECISION, name="to_out")(out)
+            out = nn.Dense(c, precision=get_precision(), name="to_out")(out)
         out = nn.LayerNorm(name="norm")(out)
         out = out.reshape(b, h, w, c)
         return prelu(Conv(c, 3, use_bias=True, name="conv_out")(out))

@@ -11,7 +11,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from paif_tpu.nn.layers import PRECISION, BatchNorm, Conv, PReLU
+from paif_tpu.nn.layers import get_precision, BatchNorm, Conv, PReLU
 from paif_tpu.ops.blurpool import blur_pool
 from paif_tpu.ops.resize import resize_bilinear
 
@@ -95,7 +95,7 @@ class ResidualUpSample(nn.Module):
         top = PReLU(name="top_act1")(top)
         top = nn.ConvTranspose(
             c, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)], use_bias=False,
-            precision=PRECISION, name="top_deconv",
+            precision=get_precision(), name="top_deconv",
         )(top)
         # torch ConvTranspose2d(k3,s2,p1,output_pad 1) yields exactly 2x size
         top = top[:, : x.shape[1] * 2, : x.shape[2] * 2, :]
@@ -137,8 +137,8 @@ class SETVLayer(nn.Module):
     def __call__(self, x, train: bool = False):
         tv = total_variation_map(x)
         y = jnp.mean(tv, axis=(1, 2))  # (B, C)
-        y = nn.relu(nn.Dense(self.reduction, precision=PRECISION, name="fc1")(y))
-        y = nn.sigmoid(nn.Dense(x.shape[-1], precision=PRECISION, name="fc2")(y))
+        y = nn.relu(nn.Dense(self.reduction, precision=get_precision(), name="fc1")(y))
+        y = nn.sigmoid(nn.Dense(x.shape[-1], precision=get_precision(), name="fc2")(y))
         return x * y[:, None, None, :]
 
 

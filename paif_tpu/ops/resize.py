@@ -53,7 +53,8 @@ def resize_bilinear(
     if (oh, ow) == (h, w):
         return x
     dtype = x.dtype
-    hi = jax.lax.Precision.HIGHEST
+    from paif_tpu.nn.layers import get_precision
+    hi = get_precision()
     if oh != h:
         mh = jnp.asarray(_interp_matrix(h, oh, align_corners), dtype=dtype)
         x = jnp.einsum("oh,bhwc->bowc", mh, x, precision=hi)

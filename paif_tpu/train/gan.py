@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from paif_tpu.nn.layers import PRECISION, BatchNorm
+from paif_tpu.nn.layers import get_precision, BatchNorm
 
 
 class PixelDiscriminator(nn.Module):
@@ -24,11 +24,11 @@ class PixelDiscriminator(nn.Module):
         def lrelu(v):
             return jnp.where(v >= 0, v, 0.2 * v)
 
-        x = lrelu(nn.Conv(self.ndf, (1, 1), use_bias=True, precision=PRECISION, name="c0")(x))
-        x = nn.Conv(self.ndf * 2, (1, 1), use_bias=False, precision=PRECISION, name="c1")(x)
+        x = lrelu(nn.Conv(self.ndf, (1, 1), use_bias=True, precision=get_precision(), name="c0")(x))
+        x = nn.Conv(self.ndf * 2, (1, 1), use_bias=False, precision=get_precision(), name="c1")(x)
         x = BatchNorm(name="bn1")(x, use_running_average=not train)
         x = lrelu(x)
-        return nn.Conv(1, (1, 1), use_bias=False, precision=PRECISION, name="c2")(x)
+        return nn.Conv(1, (1, 1), use_bias=False, precision=get_precision(), name="c2")(x)
 
 
 def gan_loss(prediction: jnp.ndarray, target_is_real: bool, mode: str = "lsgan") -> jnp.ndarray:
