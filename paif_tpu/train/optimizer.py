@@ -41,9 +41,46 @@ def poly_warmup_adamw(
     b1: float = 0.9,
     b2: float = 0.999,
     grad_clip: Optional[float] = None,
+    init_step: int = 0,
 ) -> optax.GradientTransformation:
+    """init_step > 0 resumes the LR schedule mid-run — the reference's
+    PolyWarmupAdamW_seg(iter_curr=...) (utils/optimizer.py:36-47)."""
     sched = poly_warmup_schedule(base_lr, warmup_iter, max_iter, warmup_ratio, power)
+    if init_step:
+        base = sched
+        sched = lambda step: base(step + init_step)  # noqa: E731
     tx = optax.adamw(sched, b1=b1, b2=b2, eps=1e-8, weight_decay=weight_decay)
     if grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     return tx
+
+
+def segformer_param_label(path: tuple, _leaf) -> str:
+    """WeTr.get_param_groups semantics (core/model.py:36-52): encoder params
+    whose name contains 'norm' form group 1, other encoder params group 0,
+    decoder (+classifier) group 2. Use with param_group_adamw."""
+    parts = [str(p) for p in path]
+    in_encoder = any("encoder" in p for p in parts)
+    if in_encoder:
+        return "encoder_norm" if any("norm" in p.lower() for p in parts) else "encoder"
+    return "decoder"
+
+
+def param_group_adamw(
+    params,
+    base_lr: float = 8e-5,
+    lr_mults: Optional[dict] = None,
+    label_fn=segformer_param_label,
+    **kwargs,
+) -> optax.GradientTransformation:
+    """Per-group LR multipliers over the poly-warmup AdamW (the reference
+    keeps 3 groups with a shared schedule; mults default to 1.0)."""
+    import jax
+
+    lr_mults = lr_mults or {}
+    labels = jax.tree_util.tree_map_with_path(label_fn, params)
+    groups = set(jax.tree_util.tree_leaves(labels))
+    txs = {
+        g: poly_warmup_adamw(base_lr * lr_mults.get(g, 1.0), **kwargs) for g in groups
+    }
+    return optax.multi_transform(txs, labels)
