@@ -95,8 +95,14 @@ def main():
     # PGD-5 attack throughput (the robust-eval hot loop), diagnostics only
     try:
         label = jnp.asarray(rng.integers(0, 9, (BATCH, H, W)), jnp.int32)
+        model_r = PAIFJoint(
+            backbone="mit_b3",
+            num_classes=9,
+            fusion=lambda: FusionNetSearched(32, PAIF_GENOTYPE),
+            remat=True,  # per-block remat: PGD bwd does not fit HBM otherwise
+        )
         atk = make_attack_both(
-            lambda v, i, s: model.apply(v, i, s), AttackConfig(iters=5, remat=True)
+            lambda v, i, s: model_r.apply(v, i, s), AttackConfig(iters=5)
         )
 
         def run_atk(key):

@@ -83,7 +83,7 @@ def attack_config(cfg: Config) -> AttackConfig:
     )
 
 
-def build_model(cfg: Config) -> PAIFJoint:
+def build_model(cfg: Config, remat: bool = False) -> PAIFJoint:
     m = cfg.model
     genotype: Genotype = m.genotype
     if m.fusion_model == "searched":
@@ -98,6 +98,7 @@ def build_model(cfg: Config) -> PAIFJoint:
         num_classes=m.num_classes,
         embedding_dim=m.embedding_dim,
         fusion=fusion,
+        remat=remat,
     )
 
 

@@ -30,7 +30,9 @@ def main(argv=None) -> dict:
     args = base_parser(__doc__).parse_args(argv)
     cfg = config_from_args(args)
 
-    model = build_model(cfg)
+    # per-block remat: the PGD inner loop differentiates through the full
+    # joint model; without remat the activations exceed HBM at 480x640.
+    model = build_model(cfg, remat=True)
     dataset = build_dataset(cfg)
     vis0 = dataset[0][0]
     variables = maybe_cast_dtype(cfg, build_variables(cfg, model, vis0.shape[:2]))

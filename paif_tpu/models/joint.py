@@ -38,9 +38,10 @@ class SegFormer(nn.Module):
     backbone: str = "mit_b3"
     num_classes: int = 9
     embedding_dim: int = 256
+    remat: bool = False  # per-block remat in the encoder (PGD memory)
 
     def setup(self):
-        self.encoder = mit(self.backbone)
+        self.encoder = mit(self.backbone, remat=self.remat)
         self.decoder = SegFormerHead(self.num_classes, self.embedding_dim)
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -62,10 +63,13 @@ class PAIFJoint(nn.Module):
     # name) so any fusion net can play the reference's CompModel role while
     # the submodule keeps the canonical name 'enhance_net'.
     fusion: Optional[Callable[[], nn.Module]] = None
+    remat: bool = False  # per-block remat in the encoder (PGD memory)
 
     def setup(self):
         self.enhance_net = self.fusion() if self.fusion is not None else FusionNetSearched()
-        self.denoise_net = SegFormer(self.backbone, self.num_classes, self.embedding_dim)
+        self.denoise_net = SegFormer(
+            self.backbone, self.num_classes, self.embedding_dim, remat=self.remat
+        )
 
     def fuse(self, ir: jnp.ndarray, vis_rgb: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         vis_ycrcb = rgb_to_ycrcb(vis_rgb)

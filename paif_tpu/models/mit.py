@@ -193,11 +193,16 @@ class MixVisionTransformer(nn.Module):
     sr_ratios: Sequence[int] = (8, 4, 2, 1)
     mlp_ratios: Sequence[int] = (4, 4, 4, 4)
     drop_path_rate: float = 0.1
+    # Rematerialize each transformer block in the backward pass: activation
+    # memory drops from O(depth) to O(1) blocks — required to fit batched
+    # PGD (fwd+bwd per attack step) in HBM at 480x640.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         total = sum(self.depths)
         dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+        block_cls = nn.remat(Block, static_argnums=(2, 3)) if self.remat else Block
         outs = []
         cur = 0
         for s in range(4):
@@ -206,7 +211,7 @@ class MixVisionTransformer(nn.Module):
                 self.embed_dims[s], patch, stride, name=f"patch_embed{s + 1}"
             )(x)
             for i in range(self.depths[s]):
-                tokens = Block(
+                tokens = block_cls(
                     self.embed_dims[s],
                     self.num_heads[s],
                     self.mlp_ratios[s],
@@ -221,7 +226,7 @@ class MixVisionTransformer(nn.Module):
         return outs
 
 
-def mit(name: str, drop_path_rate: float | None = None) -> MixVisionTransformer:
+def mit(name: str, drop_path_rate: float | None = None, remat: bool = False) -> MixVisionTransformer:
     dims, heads, depths, srs, mlps, dpr = MIT_CONFIGS[name]
     return MixVisionTransformer(
         embed_dims=dims,
@@ -230,4 +235,5 @@ def mit(name: str, drop_path_rate: float | None = None) -> MixVisionTransformer:
         sr_ratios=srs,
         mlp_ratios=mlps,
         drop_path_rate=dpr if drop_path_rate is None else drop_path_rate,
+        remat=remat,
     )
