@@ -202,6 +202,8 @@ class MixVisionTransformer(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False):
         total = sum(self.depths)
         dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+        # static_argnums indexes the bound call (0 = module): mark the hw
+        # tuple (2) and the deterministic flag (3) static.
         block_cls = nn.remat(Block, static_argnums=(2, 3)) if self.remat else Block
         outs = []
         cur = 0
@@ -218,7 +220,7 @@ class MixVisionTransformer(nn.Module):
                     self.sr_ratios[s],
                     dpr[cur + i],
                     name=f"block{s + 1}_{i}",
-                )(tokens, (h, w), deterministic=not train)
+                )(tokens, (h, w), not train)
             cur += self.depths[s]
             tokens = nn.LayerNorm(epsilon=1e-6, name=f"norm{s + 1}")(tokens)
             x = tokens.reshape(tokens.shape[0], h, w, self.embed_dims[s])

@@ -1,0 +1,197 @@
+"""Differentiable fusion-cell search (DARTS-style) over the reference's
+candidate pool.
+
+Search space: the commented PRIMITIVES_BLOCK list (operations_m.py:19-28).
+The supernet mirrors FusionNetSearched's topology (stems, decomposition cell
+with two chains, cross-modal gate, refinement chain, output head) but every
+chain slot is a SuperMixedOp: sum_i softmax(alpha)_i * op_i(x). Architecture
+parameters live in a separate 'arch' collection so the weight/arch updates
+can be split (bilevel) or joint (single-level; default here).
+
+All ops run every step (a dense mixture) — on TPU this is throughput-
+friendly: the candidates are independent convs XLA schedules back-to-back;
+no dynamic control flow enters the graph.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+from flax import struct
+
+from paif_tpu.genotype import Genotype
+from paif_tpu.nn.cells import CrossModalSpatialGate, decompose
+from paif_tpu.nn.layers import Conv, PReLU
+from paif_tpu.nn.ops_registry import make_op
+
+# operations_m.py:19-28 (the reference's commented search-space list)
+PRIMITIVES_BLOCK: Tuple[str, ...] = (
+    "Residualblocks_3_2",
+    "Residualblocks_5_2",
+    "Residualblocks_7_2",
+    "Denseblocks_3_2",
+    "Denseblocks_5_2",
+    "Denseblocks_7_1",
+    "ECAattention_3",
+    "SPAattention_3",
+)
+
+
+class SuperMixedOp(nn.Module):
+    """Softmax-weighted mixture over the candidate primitives."""
+
+    features: int
+    primitives: Tuple[str, ...] = PRIMITIVES_BLOCK
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        alpha = self.param(
+            "alpha",
+            lambda key, shape: 1e-3 * jax.random.normal(key, shape),
+            (len(self.primitives),),
+        )
+        # expose alphas under their own collection for bilevel optimization
+        self.sow("arch", "alpha", alpha)
+        w = jax.nn.softmax(alpha.astype(x.dtype))
+        outs = [
+            make_op(self.features, p, name=f"cand{i}")(x, train)
+            for i, p in enumerate(self.primitives)
+        ]
+        return sum(w[i] * o for i, o in enumerate(outs))
+
+
+class SuperChain(nn.Module):
+    """Sequential SuperMixedOps with the CellChain outer residual."""
+
+    features: int
+    steps: int = 2
+    primitives: Tuple[str, ...] = PRIMITIVES_BLOCK
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        s = x
+        for i in range(self.steps):
+            s = SuperMixedOp(self.features, self.primitives, name=f"op{i}")(s, train)
+        return x + s
+
+
+class SuperFusionNet(nn.Module):
+    """FusionNetSearched topology with searchable chains."""
+
+    features: int = 32
+    steps: int = 2
+    primitives: Tuple[str, ...] = PRIMITIVES_BLOCK
+
+    @nn.compact
+    def __call__(self, ir: jnp.ndarray, vis: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = self.features
+        ir = ir[..., 0:1]
+        vis = vis[..., 0:1]
+        fir = PReLU(name="stem_1_act")(Conv(c, 3, name="stem_1")(ir))
+        fvis = PReLU(name="stem_2_act")(Conv(c, 3, name="stem_2")(vis))
+
+        lf_ir, hf_ir = decompose(fir)
+        lf_vis, hf_vis = decompose(fvis)
+        lf = Conv(c, 1, use_bias=True, name="conv1x1_lf")(jnp.concatenate([lf_ir, hf_ir], -1))
+        hf = Conv(c, 1, use_bias=True, name="conv1x1_hf")(jnp.concatenate([lf_vis, hf_vis], -1))
+        lf_re = SuperChain(c, self.steps, self.primitives, name="chain1")(lf, train) + fir
+        hf_re = SuperChain(c, self.steps, self.primitives, name="chain2")(hf, train) + fvis
+
+        gate = CrossModalSpatialGate(name="spa")(lf_re, hf_re, train)
+        agg = gate * lf_re + (1.0 - gate) * hf_re
+        refined = SuperChain(c, self.steps, self.primitives, name="chain3")(agg, train)
+        out = Conv(c // 2, 3, name="stem_out_0")(refined)
+        out = Conv(1, 3, name="stem_out_1")(out)
+        return jnp.tanh(PReLU(name="stem_out_act")(out))
+
+
+def _collect_alphas(params: Any) -> dict:
+    """{chain_name: {op_name: alpha array}} from the supernet params."""
+    out = {}
+    for chain in ("chain1", "chain2", "chain3"):
+        chain_params = params[chain]
+        out[chain] = {
+            op: chain_params[op]["alpha"] for op in sorted(chain_params) if op.startswith("op")
+        }
+    return out
+
+
+def derive_genotype(params: Any, primitives: Sequence[str] = PRIMITIVES_BLOCK) -> Genotype:
+    """Argmax over each slot's alphas -> reference-schema Genotype
+    (chain1 -> normal_1, chain2 -> normal_2, chain3 -> normal_3)."""
+    alphas = _collect_alphas(params)
+
+    def entries(chain):
+        es = []
+        for i, (op, a) in enumerate(sorted(alphas[chain].items())):
+            es.append((primitives[int(jnp.argmax(a))], i))
+        return tuple(es)
+
+    return Genotype(
+        normal_1=entries("chain1"),
+        normal_2=entries("chain2"),
+        normal_3=entries("chain3"),
+    )
+
+
+class SearchState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def create_search_state(
+    model: SuperFusionNet, variables, lr: float = 1e-3, arch_lr_mult: float = 3.0
+) -> SearchState:
+    """Adam over weights + a faster Adam over the alpha parameters."""
+    labels = jax.tree_util.tree_map_with_path(
+        lambda p, x: "arch" if str(p[-1].key if hasattr(p[-1], "key") else p[-1]) == "alpha"
+        and not any("cand" in str(q) for q in p)
+        else "weights",
+        variables["params"],
+    )
+    tx = optax.multi_transform(
+        {"weights": optax.adam(lr), "arch": optax.adam(lr * arch_lr_mult)}, labels
+    )
+    return SearchState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+
+
+def make_search_step(model: SuperFusionNet, fusion_loss_fn):
+    """Single-level DARTS: one Adam step over weights AND alphas against the
+    fusion loss. fn(state, ir, vis, mask) -> (state, loss)."""
+
+    def loss_fn(params, state, ir, vis, mask):
+        fused, mut = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            ir,
+            vis,
+            True,
+            mutable=["batch_stats", "arch"],
+        )
+        return fusion_loss_fn(ir, vis, fused, mask), mut["batch_stats"]
+
+    @jax.jit
+    def step(state: SearchState, ir, vis, mask):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state, ir, vis, mask
+        )
+        updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(step=state.step + 1, params=params, batch_stats=new_bs, opt_state=opt_state),
+            loss,
+        )
+
+    return step
