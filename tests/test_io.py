@@ -1,0 +1,61 @@
+"""IO tests: Orbax round-trip; torch-import strict=False semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from paif_tpu.genotype import PAIF_GENOTYPE
+from paif_tpu.io.checkpoint import load_variables, save_variables
+from paif_tpu.io.torch_import import fusion_entries, to_flax_variables
+from paif_tpu.models import FusionNetSearched
+
+
+def _tiny_variables(rng):
+    model = FusionNetSearched(8, PAIF_GENOTYPE)
+    ir = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 1)), jnp.float32)
+    vis = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)), jnp.float32)
+    return model, model.init(jax.random.PRNGKey(0), ir, vis), (ir, vis)
+
+
+def test_orbax_round_trip(tmp_path, rng):
+    model, variables, (ir, vis) = _tiny_variables(rng)
+    out_before = model.apply(variables, ir, vis)
+    save_variables(str(tmp_path / "ckpt"), variables)
+    restored = load_variables(str(tmp_path / "ckpt"), variables)
+    out_after = model.apply(restored, ir, vis)
+    np.testing.assert_array_equal(np.asarray(out_before), np.asarray(out_after))
+
+
+def test_torch_import_tolerates_missing_keys(rng, caplog):
+    """strict=False reference semantics (robust_test.py:263): missing torch
+    keys keep their initialized values; extra torch keys are ignored."""
+    model, variables, (ir, vis) = _tiny_variables(rng)
+    entries = fusion_entries(PAIF_GENOTYPE)
+    # fabricate a state dict covering ONLY the stems, plus a junk key
+    sd = {
+        "stem_1.0.weight": rng.normal(0, 1, (8, 1, 3, 3)).astype(np.float32),
+        "stem_1.1.weight": np.array([0.1], np.float32),
+        "some.unknown.key": np.zeros(3, np.float32),
+    }
+    merged = to_flax_variables(sd, entries, template=variables)
+    got = np.asarray(merged["params"]["stem_1"]["kernel"])
+    np.testing.assert_allclose(got, sd["stem_1.0.weight"].transpose(2, 3, 1, 0))
+    # untouched leaves keep their init values
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["stem_2"]["kernel"]),
+        np.asarray(variables["params"]["stem_2"]["kernel"]),
+    )
+    # model still applies
+    out = model.apply(merged, ir, vis)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_torch_import_shape_mismatch_raises(rng):
+    model, variables, _ = _tiny_variables(rng)
+    entries = fusion_entries(PAIF_GENOTYPE)
+    sd = {"stem_1.0.weight": np.zeros((4, 1, 3, 3), np.float32)}  # wrong C
+    try:
+        to_flax_variables(sd, entries, template=variables)
+        assert False, "expected shape mismatch"
+    except ValueError as e:
+        assert "shape mismatch" in str(e)
