@@ -124,7 +124,12 @@ def _save_outputs(cfg: EvalConfig, out: Dict, names, valid: np.ndarray) -> None:
 def run_eval(model, variables, dataset, cfg: EvalConfig) -> Dict[str, float]:
     """Evaluate over a (vis, ir, label, name) dataset; returns summary metrics
     and (optionally) writes images + the reference-format report txt."""
-    mesh = make_mesh() if cfg.use_mesh and len(jax.devices()) > 1 else None
+    # shard over the largest device count that divides the batch
+    n_dev = len(jax.devices())
+    n_use = 1
+    if cfg.use_mesh:
+        n_use = max(d for d in range(1, n_dev + 1) if cfg.batch_size % d == 0)
+    mesh = make_mesh(devices=jax.devices()[:n_use]) if n_use > 1 else None
     if mesh is not None:
         variables = replicate(mesh, variables)
     step = make_eval_step(model, cfg)

@@ -47,6 +47,47 @@ def conv_padding(kernel_size: int, dilation: int = 1) -> int:
     return dilation * (kernel_size - 1) // 2
 
 
+class SmallConv2d(nn.Module):
+    """Stride-1 'same' conv with the same parameter tree as nn.Conv
+    ('kernel' HWIO + optional 'bias'), dispatching to the Pallas small-
+    channel kernel (ops/pallas/small_conv.py) when enabled and profitable,
+    else to lax.conv via the standard path."""
+
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from paif_tpu.ops.pallas.small_conv import conv2d_same_small, pallas_conv_enabled
+
+        k = self.kernel_size
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, c_in, self.features), jnp.float32
+        )
+        kernel = kernel.astype(x.dtype) if x.dtype == jnp.bfloat16 else kernel
+        use_pallas = pallas_conv_enabled() and max(c_in, self.features) <= 64 and k > 1
+        if use_pallas:
+            y = conv2d_same_small(x, kernel, self.dilation)
+        else:
+            pad = conv_padding(k, self.dilation)
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                (1, 1),
+                [(pad, pad), (pad, pad)],
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=get_precision(),
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 def Conv(
     features: int,
     kernel_size: int,
@@ -56,9 +97,21 @@ def Conv(
     use_bias: bool = False,
     padding: Optional[int] = None,
     name: Optional[str] = None,
-) -> nn.Conv:
-    """Square-kernel conv, symmetric 'same' padding by default, HWIO."""
+):
+    """Square-kernel conv, symmetric 'same' padding by default, HWIO.
+
+    Stride-1, ungrouped, same-padded convs return SmallConv2d, which routes
+    small-channel cases through the Pallas kernel on TPU (identical param
+    tree, so checkpoints/importer are unaffected)."""
     pad = padding if padding is not None else conv_padding(kernel_size, dilation)
+    if stride == 1 and groups == 1 and pad == conv_padding(kernel_size, dilation):
+        return SmallConv2d(
+            features=features,
+            kernel_size=kernel_size,
+            dilation=dilation,
+            use_bias=use_bias,
+            name=name,
+        )
     return nn.Conv(
         features=features,
         kernel_size=(kernel_size, kernel_size),
