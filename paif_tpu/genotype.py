@@ -12,7 +12,7 @@ PAIF_GENOTYPE is the published searched architecture
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Sequence, Tuple
 
 OpEntry = Tuple[str, int]

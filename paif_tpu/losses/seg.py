@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from paif_tpu.ops.losses import cross_entropy_ignore, softmax_cross_entropy_per_pixel
+from paif_tpu.ops.losses import softmax_cross_entropy_per_pixel
 
 
 def _per_pixel_valid(logits, labels, ignore_index):

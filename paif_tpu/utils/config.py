@@ -81,10 +81,10 @@ def _update_dataclass(obj: Any, data: Dict[str, Any]) -> Any:
         if not hasattr(obj, k):
             raise KeyError(f"unknown config key '{k}' on {type(obj).__name__}")
         cur = getattr(obj, k)
-        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+        if isinstance(cur, Genotype) and isinstance(v, dict):
+            setattr(obj, k, Genotype.from_dict(v))  # frozen: replace, not recurse
+        elif dataclasses.is_dataclass(cur) and isinstance(v, dict):
             _update_dataclass(cur, v)
-        elif isinstance(cur, Genotype) and isinstance(v, dict):
-            setattr(obj, k, Genotype.from_dict(v))
         else:
             setattr(obj, k, v)
     return obj

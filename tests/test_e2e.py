@@ -101,3 +101,37 @@ def test_train_aat_cli_smoke(tmp_path):
     )
     assert int(state.step) == 2
     assert os.path.exists(tmp_path / "ckpt" / "step_2")
+
+
+def test_config_genotype_roundtrip(tmp_path):
+    """Genotype literals survive YAML round trip with reference schema keys."""
+    import yaml
+
+    from paif_tpu.genotype import PAIF_GENOTYPE, Genotype
+    from paif_tpu.utils.config import load_config
+
+    d = PAIF_GENOTYPE.to_dict()
+    path = tmp_path / "g.yaml"
+    path.write_text(yaml.safe_dump({"model": {"genotype": d}}))
+    cfg = load_config(str(path))
+    assert cfg.model.genotype == PAIF_GENOTYPE
+    assert Genotype.from_dict(d) == PAIF_GENOTYPE
+
+
+def test_augmentations(rng):
+    from paif_tpu.data.augmentation import (
+        RandomBrightness,
+        RandomCrop,
+        RandomCropOut,
+        RandomFlip,
+        RandomNoise,
+    )
+
+    img = (rng.uniform(0, 255, (32, 40, 3))).astype(np.float32)
+    lab = rng.integers(0, 9, (32, 40)).astype(np.int64)
+    g = np.random.default_rng(0)
+    for aug in (RandomFlip(1.0), RandomCropOut(prob=1.0), RandomBrightness(prob=1.0), RandomNoise(prob=1.0)):
+        i2, l2 = aug(img.copy(), lab.copy(), g)
+        assert i2.shape[2] == 3
+    i3, l3 = RandomCrop(prob=1.0)(img, lab, g)
+    assert i3.shape[0] <= 32 and i3.shape[:2] == l3.shape
