@@ -68,9 +68,9 @@ class SmallConv2d(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (k, k, c_in, self.features), jnp.float32
         )
         kernel = kernel.astype(x.dtype) if x.dtype == jnp.bfloat16 else kernel
-        # Measured on v5e at (8,480,640,32): the tap-stacked Pallas kernel wins
-        # for large kernels (7x7: 34 vs 50 ms) but loses to XLA at 3x3 (14 vs
-        # 6.3 ms — small row tiles). Dispatch only where it wins.
+        # The tap-stacked Pallas kernel wins for isolated large kernels
+        # (7x7: 34 vs 50 ms on v5e) but regresses the full model (see
+        # pallas_conv_enabled); opt-in via PAIF_PALLAS_CONV=1.
         use_pallas = pallas_conv_enabled() and max(c_in, self.features) <= 64 and k >= 5
         if use_pallas:
             y = conv2d_same_small(x, kernel, self.dilation)

@@ -38,10 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def pallas_conv_enabled() -> bool:
-    env = os.environ.get("PAIF_PALLAS_CONV")
-    if env is not None:
-        return env not in ("0", "false", "False")
-    return jax.default_backend() == "tpu"
+    """Opt-in (PAIF_PALLAS_CONV=1). Isolated 7x7 convs are 1.5x faster than
+    XLA here, but in the FULL joint model the k shifted-view materializations
+    and custom-VJP residuals regressed end-to-end time (368->439 ms/batch)
+    and broke the PGD remat memory plan (HBM OOM) — so XLA is the default."""
+    return os.environ.get("PAIF_PALLAS_CONV") in ("1", "true", "True")
 
 
 def _lanes(c: int) -> int:
