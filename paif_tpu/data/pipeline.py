@@ -56,6 +56,21 @@ def batch_iterator(
         yield pad_to_batch(batch, batch_size)
 
 
+def device_prefetch(iterator, put, depth: int = 2):
+    """Keep `depth` batches in flight on device: `put` maps a host batch to
+    device arrays; transfers overlap the consumer's compute (the TPU
+    equivalent of DataLoader pin_memory + async H2D)."""
+    import collections
+
+    queue = collections.deque()
+    for item in iterator:
+        queue.append(put(item))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 class PrefetchLoader:
     """Wrap an iterator factory with a daemon thread + bounded queue so host
     decoding overlaps device compute (the TPU equivalent of DataLoader

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from paif_tpu.attack.pgd import AttackConfig, make_attack_both, make_attack_single
-from paif_tpu.data.pipeline import PrefetchLoader, batch_iterator
+from paif_tpu.data.pipeline import PrefetchLoader, batch_iterator, device_prefetch
 from paif_tpu.eval.metrics import confusion_matrix, compute_results, summarize
 from paif_tpu.eval.palette import colorize
 from paif_tpu.ops.color import clip01, recombine_chroma, rgb_to_ycrcb, ycrcb_to_rgb
@@ -137,13 +137,25 @@ def run_eval(model, variables, dataset, cfg: EvalConfig) -> Dict[str, float]:
 
     conf_total = np.zeros((cfg.num_classes, cfg.num_classes), dtype=np.int64)
     loader = PrefetchLoader(lambda: batch_iterator(dataset, cfg.batch_size))
-    for bidx, batch in enumerate(loader):
-        ir = batch["ir"].astype(np.float32)
-        vis = batch["vis"].astype(np.float32)
-        label = batch["label"]
-        valid = batch["valid"]
+
+    def put(batch):
+        arrays = (
+            batch["ir"].astype(np.float32),
+            batch["vis"].astype(np.float32),
+            batch["label"],
+            batch["valid"],
+        )
         if mesh is not None:
-            ir, vis, label, valid = shard_batch(mesh, (ir, vis, label, valid))
+            arrays = shard_batch(mesh, arrays)
+        else:
+            arrays = jax.device_put(arrays)
+        return arrays, batch
+
+    # host decode overlaps via the loader thread; H2D overlaps via the
+    # device-prefetch queue (one batch in flight ahead of compute)
+    for bidx, ((ir, vis, label, valid), batch) in enumerate(
+        device_prefetch(loader, put, depth=2)
+    ):
         out = step(variables, ir, vis, label, valid, jax.random.fold_in(key, bidx))
         conf_total += np.asarray(out["conf"])
         if cfg.save_dir:
