@@ -29,14 +29,27 @@ def prepare_data_path(dataset_path: str) -> Tuple[List[str], List[str]]:
     return data, names
 
 
+def _native_decode(path: str, channels: int):
+    """Native C++ PNG/JPEG decode (io/native) when built; None -> PIL."""
+    from paif_tpu.io import native
+
+    if not native.available():
+        return None
+    return native.decode_image(path, channels)
+
+
 def _load_rgb(path: str) -> np.ndarray:
-    img = np.array(Image.open(path).convert("RGB"), dtype=np.float32) / 255.0
-    return img  # (H,W,3)
+    u8 = _native_decode(path, 3)
+    if u8 is None:
+        u8 = np.array(Image.open(path).convert("RGB"), dtype=np.uint8)
+    return u8.astype(np.float32) / 255.0  # (H,W,3)
 
 
 def _load_gray(path: str) -> np.ndarray:
-    img = np.array(Image.open(path).convert("L"), dtype=np.float32) / 255.0
-    return img[..., None]  # (H,W,1)
+    u8 = _native_decode(path, 1)
+    if u8 is None:
+        u8 = np.array(Image.open(path).convert("L"), dtype=np.uint8)[..., None]
+    return u8.astype(np.float32) / 255.0  # (H,W,1)
 
 
 def _load_label(path: str) -> np.ndarray:
