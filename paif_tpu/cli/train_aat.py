@@ -39,13 +39,34 @@ def main(argv=None):
     p.add_argument("--max_iters", default=None, type=int)
     p.add_argument("--save_every", default=1000, type=int)
     p.add_argument("--out", default="./checkpoints/aat", type=str)
+    # coupled AAT data (reference Fusion_dataset_Meta layout): perturbed dirs
+    # via --ir_path/--vi_path, originals + decomposition masks here
+    p.add_argument("--mask_path", default=None, type=str)
+    p.add_argument("--ir_orig_path", default=None, type=str)
+    p.add_argument("--vi_orig_path", default=None, type=str)
+    p.add_argument("--crop_size", default=None, type=int)
     args = p.parse_args(argv)
     cfg = config_from_args(args)
     if args.max_iters is not None:
         cfg.train.max_iters = args.max_iters
 
-    model = build_model(cfg)
-    dataset = build_dataset(cfg)
+    model = build_model(cfg, remat=True)
+    if args.mask_path and args.ir_orig_path and args.vi_orig_path:
+        from paif_tpu.data.datasets import FusionMetaDataset
+
+        dataset = FusionMetaDataset(
+            ir_path=cfg.dataset.ir_path,
+            vi_path=cfg.dataset.vi_path,
+            mask_path=args.mask_path,
+            ir_orig_path=args.ir_orig_path,
+            vi_orig_path=args.vi_orig_path,
+            crop_size=args.crop_size or cfg.train.crop_size,
+            seed=cfg.seed,
+        )
+        meta = True
+    else:
+        dataset = build_dataset(cfg)
+        meta = False
     hw = dataset[0][0].shape[:2]
     variables = build_variables(cfg, model, hw)
 
@@ -72,16 +93,28 @@ def main(argv=None):
     it = 0
     t0 = time.time()
     while it < cfg.train.max_iters:
+        keys = (
+            ("vis", "ir", "vis_orig", "ir_orig", "mask", "name") if meta
+            else ("vis", "ir", "label", "name")
+        )
         loader = PrefetchLoader(
-            lambda: batch_iterator(dataset, cfg.dataset.batch_size, drop_last=True)
+            lambda: batch_iterator(dataset, cfg.dataset.batch_size, keys=keys, drop_last=True)
         )
         for batch in loader:
             ir = batch["ir"].astype(np.float32)
             vis = batch["vis"].astype(np.float32)
-            labels = batch["label"]
-            # mask target: reference AAT uses a decomposition mask; fall back
-            # to max(ir, vis_y) when the dataset carries none.
-            mask = batch.get("mask", np.maximum(ir, vis.mean(-1, keepdims=True)))
+            if meta:
+                # Meta batches carry the decomposition mask but no seg labels
+                # (the reference's _loss_coupled gets labels from a separate
+                # loader); fall back to mask-thresholded 2-class labels so the
+                # seg term stays active.
+                mask = batch["mask"].astype(np.float32)
+                labels = (mask[..., 0] > 0.5).astype(np.int32)
+            else:
+                labels = batch["label"]
+                # mask target: reference AAT uses a decomposition mask; fall
+                # back to max(ir, vis_y) when the dataset carries none.
+                mask = batch.get("mask", np.maximum(ir, vis.mean(-1, keepdims=True)))
             state, metrics = step_fn(state, ir, vis, mask, labels, jax.random.fold_in(key, it))
             it += 1
             if it % 10 == 0:
