@@ -145,3 +145,36 @@ def test_attack_ways_run(models, data, way):
         jax.random.PRNGKey(1),
     )
     assert np.isfinite(np.asarray(d)).all()
+
+
+def test_fusion_targeted_pgd_and_fgsm(models, data):
+    """pgd_attack_ir / pgd_attack_vision / fgsm_ir equivalents run and respect
+    the constraint sets for every loss variant."""
+    from paif_tpu.attack import make_fgsm_ir, make_fusion_pgd
+    from paif_tpu.attack.pgd import trans_format
+
+    _, model, variables = models
+    ir, vis, label = data
+    jir = jnp.asarray(ir.transpose(0, 2, 3, 1))
+    jvis = jnp.asarray(vis.transpose(0, 2, 3, 1))
+    jlab = jnp.asarray(label)
+    apply_fn = lambda v, i, s: model.apply(v, i, s)  # noqa: E731
+
+    fused, _ = model.apply(variables, jir, jvis)
+    target = trans_format(fused, jvis)
+
+    for loss in ("l_2", "l_1", "l_ssim", "l_seg"):
+        for tgt in ("ir", "vis"):
+            atk = make_fusion_pgd(apply_fn, AttackConfig(iters=1, loss=loss), target=tgt)
+            d = atk(variables, jir, jvis, target, jlab, jax.random.PRNGKey(0))
+            assert np.isfinite(np.asarray(d)).all(), (loss, tgt)
+            assert float(jnp.max(jnp.abs(d))) <= EPS + 1e-6
+
+    fgsm = make_fgsm_ir(apply_fn, AttackConfig(loss="l_2"))
+    d = fgsm(variables, jir, jvis, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(d)).all()
+    assert float(jnp.min(jir + d)) >= -1e-6 and float(jnp.max(jir + d)) <= 1 + 1e-6
+    # masked FGSM: perturbation confined to the mask support
+    mask = jnp.zeros_like(jir).at[:, :16].set(1.0)
+    dm = fgsm(variables, jir, jvis, jax.random.PRNGKey(0), mask)
+    assert float(jnp.max(jnp.abs(np.asarray(dm)[:, 16:]))) == 0.0
