@@ -25,6 +25,7 @@ from paif_tpu.eval.palette import colorize
 from paif_tpu.ops.color import clip01, recombine_chroma, rgb_to_ycrcb, ycrcb_to_rgb
 from paif_tpu.ops.resize import resize_bilinear
 from paif_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from paif_tpu.utils.profiler import StepTimer
 
 
 @dataclass
@@ -137,6 +138,7 @@ def run_eval(model, variables, dataset, cfg: EvalConfig) -> Dict[str, float]:
 
     conf_total = np.zeros((cfg.num_classes, cfg.num_classes), dtype=np.int64)
     loader = PrefetchLoader(lambda: batch_iterator(dataset, cfg.batch_size))
+    timer = StepTimer(warmup=1)
 
     def put(batch):
         arrays = (
@@ -156,15 +158,39 @@ def run_eval(model, variables, dataset, cfg: EvalConfig) -> Dict[str, float]:
     for bidx, ((ir, vis, label, valid), batch) in enumerate(
         device_prefetch(loader, put, depth=2)
     ):
-        out = step(variables, ir, vis, label, valid, jax.random.fold_in(key, bidx))
-        conf_total += np.asarray(out["conf"])
+        with timer:
+            out = step(variables, ir, vis, label, valid, jax.random.fold_in(key, bidx))
+            conf_total += np.asarray(out["conf"])  # device sync point
         if cfg.save_dir:
             _save_outputs(cfg, out, batch["name"], np.asarray(batch["valid"]))
 
     metrics = summarize(conf_total)
+    if timer.times:
+        metrics["pairs_per_sec"] = cfg.batch_size / timer.mean
+    print_report(conf_total, cfg.strategy)
     if cfg.save_dir:
         _write_report(cfg, conf_total)
     return metrics
+
+
+def print_report(conf_total: np.ndarray, strategy: str) -> None:
+    """Per-class table on stdout (the reference prints the same shape of
+    report, robust_test.py:234-239), with class names for readability."""
+    from paif_tpu.eval.palette import CLASS_NAMES
+
+    precision, _recall, iou = compute_results(conf_total)
+    print(f"strategy: {strategy}")
+    print(f"{'class':<12}{'precision':>12}{'iou':>12}")
+    for i, name in enumerate(CLASS_NAMES[: len(iou)]):
+        print(f"{name:<12}{precision[i]:>12.6f}{iou[i]:>12.6f}")
+    print(
+        f"{'mean':<12}{np.mean(np.nan_to_num(precision)):>12.6f}"
+        f"{np.mean(np.nan_to_num(iou)):>12.6f}"
+    )
+    print(
+        f"{'mean w/o bg':<12}{np.mean(np.nan_to_num(precision[1:])):>12.6f}"
+        f"{np.mean(np.nan_to_num(iou[1:])):>12.6f}"
+    )
 
 
 def _write_report(cfg: EvalConfig, conf_total: np.ndarray) -> None:
