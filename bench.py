@@ -45,6 +45,9 @@ def main():
     from paif_tpu.genotype import PAIF_GENOTYPE
     from paif_tpu.models import FusionNetSearched, PAIFJoint
 
+    # persistent compile cache: repeated bench runs skip the ~2 min compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
     model = PAIFJoint(
         backbone="mit_b3",
