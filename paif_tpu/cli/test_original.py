@@ -38,6 +38,7 @@ def main(argv=None) -> dict:
         save_dir=cfg.save_dir,
         strategy=cfg.strategy,
         seed=cfg.seed,
+        input_dtype=cfg.dtype if cfg.dtype == "bfloat16" else "float32",
     )
     metrics = run_eval(model, variables, dataset, ecfg)
     print("clean eval:", {k: round(v, 6) for k, v in metrics.items()})

@@ -37,6 +37,7 @@ class EvalConfig:
     strategy: str = "meta_final"
     use_mesh: bool = True
     seed: int = 0
+    input_dtype: str = "float32"  # 'bfloat16' pairs with bf16-cast params
     extra: dict = field(default_factory=dict)
 
 
@@ -140,10 +141,12 @@ def run_eval(model, variables, dataset, cfg: EvalConfig) -> Dict[str, float]:
     loader = PrefetchLoader(lambda: batch_iterator(dataset, cfg.batch_size))
     timer = StepTimer(warmup=1)
 
+    in_dt = np.dtype(jnp.bfloat16) if cfg.input_dtype == "bfloat16" else np.float32
+
     def put(batch):
         arrays = (
-            batch["ir"].astype(np.float32),
-            batch["vis"].astype(np.float32),
+            batch["ir"].astype(in_dt),
+            batch["vis"].astype(in_dt),
             batch["label"],
             batch["valid"],
         )

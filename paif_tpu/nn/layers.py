@@ -67,7 +67,8 @@ class SmallConv2d(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (k, k, c_in, self.features), jnp.float32
         )
-        kernel = kernel.astype(x.dtype) if x.dtype == jnp.bfloat16 else kernel
+        if kernel.dtype != x.dtype:
+            kernel = kernel.astype(x.dtype)
         # The tap-stacked Pallas kernel wins for isolated large kernels
         # (7x7: 34 vs 50 ms on v5e) but regresses the full model (see
         # pallas_conv_enabled); opt-in via PAIF_PALLAS_CONV=1.

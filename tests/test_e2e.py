@@ -135,3 +135,31 @@ def test_augmentations(rng):
         assert i2.shape[2] == 3
     i3, l3 = RandomCrop(prob=1.0)(img, lab, g)
     assert i3.shape[0] <= 32 and i3.shape[:2] == l3.shape
+
+
+def test_robust_cli_modes_and_bf16(tmp_path):
+    """Attack mode 'ir' + segPGD way through the CLI; bf16 dtype path runs."""
+    from paif_tpu.cli.robust_test import main
+
+    m = main(
+        [
+            "--config", TINY, "--attack_iters", "1",
+            "--attack_mode", "ir", "--attack_way", "segPGD",
+        ]
+    )
+    assert 0.0 <= m["iou_mean"] <= 1.0
+
+    import yaml
+
+    from paif_tpu.utils.config import load_config
+
+    cfg_path = tmp_path / "bf16.yaml"
+    base = yaml.safe_load(open(TINY))
+    base["dtype"] = "bfloat16"
+    cfg_path.write_text(yaml.safe_dump(base))
+    cfg = load_config(str(cfg_path))
+    assert cfg.dtype == "bfloat16"
+    from paif_tpu.cli.test_original import main as clean_main
+
+    m2 = clean_main(["--config", str(cfg_path)])
+    assert np.isfinite(m2["iou_mean"])
