@@ -59,3 +59,36 @@ def test_torch_import_shape_mismatch_raises(rng):
         assert False, "expected shape mismatch"
     except ValueError as e:
         assert "shape mismatch" in str(e)
+
+
+def test_load_torch_pth_file_end_to_end(tmp_path, rng):
+    """torch.save'd state dict -> load_any_checkpoint -> identical outputs
+    (the reference checkpoint ingestion path, robust_test.py:259-263)."""
+    import torch
+
+    from tests.reference_stubs import install_reference_stubs
+
+    install_reference_stubs()
+    from core.model_fusion_auto import Network_Fusion_Searched
+    from tests.test_torch_parity import to_ref_genotype
+
+    from paif_tpu.io.checkpoint import load_any_checkpoint
+
+    torch.manual_seed(7)
+    ref = Network_Fusion_Searched(8, None, to_ref_genotype(PAIF_GENOTYPE)).eval()
+    pth = tmp_path / "fusion.pth"
+    torch.save(ref.state_dict(), str(pth))
+
+    model = FusionNetSearched(8, PAIF_GENOTYPE)
+    ir = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 1)), jnp.float32)
+    vis = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)), jnp.float32)
+    template = model.init(jax.random.PRNGKey(0), ir, vis)
+    variables = load_any_checkpoint(str(pth), fusion_entries(PAIF_GENOTYPE), template)
+
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(np.asarray(ir).transpose(0, 3, 1, 2)),
+            torch.from_numpy(np.asarray(vis).transpose(0, 3, 1, 2)),
+        ).numpy()
+    got = np.asarray(model.apply(variables, ir, vis))
+    np.testing.assert_allclose(got[..., 0], want[:, 0], atol=2e-5, rtol=1e-4)
