@@ -1,5 +1,6 @@
 """Device-mesh parallelism: sharding helpers for data-parallel eval/train."""
 
+from paif_tpu.parallel.tp import make_2d_mesh, shard_params_tp
 from paif_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
@@ -14,4 +15,6 @@ __all__ = [
     "replicate",
     "data_sharding",
     "replicated_sharding",
+    "make_2d_mesh",
+    "shard_params_tp",
 ]
