@@ -99,7 +99,7 @@ class BFSelfAttention(nn.Module):
         out = jnp.einsum("bhnd,bhde->bhne", v, ctx, precision=get_precision())
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = nn.Dense(c, use_bias=True, precision=get_precision(), name="end_proj1")(out)
-        out = nn.LayerNorm(name="norm1")(out).reshape(b, h, w, c)
+        out = nn.LayerNorm(epsilon=1e-5, name="norm1")(out).reshape(b, h, w, c)
         out = f_conv(f_conv(out, "ffn0"), "ffn1")
         return skip + skip * out
 
@@ -144,7 +144,9 @@ class BFFR(nn.Module):
         nf = self.filters
 
         def encode(img, tag):
-            x = ConvLayer(16, 1, name=f"conv1_{tag}")(img[..., 0:1], train)
+            # reference quirk: ConvLayer(1, 16, 1, stride) passes stride into
+            # the is_last slot (BFFusion.py:256,262) -> the stem is LINEAR
+            x = ConvLayer(16, 1, is_last=True, name=f"conv1_{tag}")(img[..., 0:1], train)
             feats = []
             for i, f in enumerate(nf):
                 if i > 0:

@@ -203,3 +203,76 @@ def test_did_auif_parity(rng):
         {"params": unflatten_dict(params), "batch_stats": unflatten_dict(stats)}, ja, jb
     )
     np.testing.assert_allclose(np.asarray(got)[..., 0], want[:, 0], atol=5e-5, rtol=1e-3)
+
+
+def test_bffr_parity(rng):
+    import importlib
+
+    bf_mod = importlib.import_module("fusion_model.BFFusion")
+    torch.manual_seed(0)
+    ref = bf_mod.BFFR().eval()
+
+    vis_y = rng.uniform(0, 1, (1, 1, 32, 48)).astype(np.float32)
+    ir = rng.uniform(0, 1, (1, 1, 32, 48)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(vis_y), torch.from_numpy(ir)).numpy()
+
+    from paif_tpu.models.zoo.bffusion import BFFR
+
+    model = BFFR()
+    ja = jnp.asarray(ir.transpose(0, 2, 3, 1))
+    jb = jnp.asarray(vis_y.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), ja, jb)
+    params = dict(flatten_dict(variables["params"]))
+    stats = dict(flatten_dict(variables["batch_stats"]))
+    sd = ref.state_dict()
+
+    def conv(fpath, tkey, bias=True):
+        params[fpath + ("kernel",)] = jnp.asarray(_conv_w(sd[f"{tkey}.weight"]))
+        if bias:
+            params[fpath + ("bias",)] = jnp.asarray(sd[f"{tkey}.bias"].numpy())
+
+    def dense(fpath, tkey, bias=True):
+        params[fpath + ("kernel",)] = jnp.asarray(sd[f"{tkey}.weight"].numpy().T)
+        if bias:
+            params[fpath + ("bias",)] = jnp.asarray(sd[f"{tkey}.bias"].numpy())
+
+    def bn(fpath, tkey):
+        params[fpath + ("scale",)] = jnp.asarray(sd[f"{tkey}.weight"].numpy())
+        params[fpath + ("bias",)] = jnp.asarray(sd[f"{tkey}.bias"].numpy())
+        stats[fpath + ("mean",)] = jnp.asarray(sd[f"{tkey}.running_mean"].numpy())
+        stats[fpath + ("var",)] = jnp.asarray(sd[f"{tkey}.running_var"].numpy())
+
+    for tag in ("vi", "ir"):
+        conv((f"conv1_{tag}", "conv"), f"conv1_{tag}.conv2d")
+        for i in range(1, 5):
+            base = (f"DB{i}_{tag}",)
+            conv(base + ("conv1",), f"DB{i}_{tag}.conv1.conv")
+            conv(base + ("conv2",), f"DB{i}_{tag}.conv2.conv")
+            conv(base + ("conv_down",), f"DB{i}_{tag}.conv_down")
+    for i in range(1, 5):
+        for attn in ("attn1", "attn2"):
+            fb = (f"fusion_block{i}", attn)
+            tb = f"fusion_block{i}.{attn}"
+            conv(fb + ("pre0",), f"{tb}.conv_pre.0.conv2d")
+            bn(fb + ("pre0_bn",), f"{tb}.conv_pre.0.batch_norm")
+            conv(fb + ("pre1",), f"{tb}.conv_pre.1.conv2d")
+            bn(fb + ("pre1_bn",), f"{tb}.conv_pre.1.batch_norm")
+            conv(fb + ("ffn0",), f"{tb}.ffn.0.conv2d")
+            bn(fb + ("ffn0_bn",), f"{tb}.ffn.0.batch_norm")
+            conv(fb + ("ffn1",), f"{tb}.ffn.1.conv2d")
+            bn(fb + ("ffn1_bn",), f"{tb}.ffn.1.batch_norm")
+            dense(fb + ("wq1",), f"{tb}.wq1", bias=False)
+            dense(fb + ("wk1",), f"{tb}.wk1", bias=False)
+            dense(fb + ("wv1",), f"{tb}.wv1", bias=False)
+            dense(fb + ("end_proj1",), f"{tb}.end_proj1")
+            params[fb + ("norm1", "scale")] = jnp.asarray(sd[f"{tb}.norm1.weight"].numpy())
+            params[fb + ("norm1", "bias")] = jnp.asarray(sd[f"{tb}.norm1.bias"].numpy())
+    for name in ("DB1_1", "DB2_1", "DB3_1", "DB1_2", "DB2_2", "DB1_3"):
+        conv((name, "conv"), f"{name}.conv2d")
+    conv(("conv_out",), "conv_out.conv2d")
+
+    got = model.apply(
+        {"params": unflatten_dict(params), "batch_stats": unflatten_dict(stats)}, ja, jb
+    )
+    np.testing.assert_allclose(np.asarray(got)[..., 0], want[:, 0], atol=1e-4, rtol=1e-3)
