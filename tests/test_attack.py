@@ -131,6 +131,122 @@ def test_attack_increases_loss(models, data):
     assert float(jnp.min(jvis + d_vis)) >= -1e-6 and float(jnp.max(jvis + d_vis)) <= 1 + 1e-6
 
 
+def test_attack_way_loss_values_match_reference(models, data, monkeypatch):
+    """Golden loss-VALUE parity for the attack_way shapings (VERDICT round-1
+    missing #3). With zero init and alpha=0 the reference's delta stays 0 at
+    every step, so each iteration evaluates its loss at delta=0 with the
+    step-dependent weighting (segPGD's lamb ramp, attack/attack.py:449-465).
+    We record the scalar the reference backward()s each step and compare to
+    seg_attack_loss at the same (way, step)."""
+    from attack.attack import attack_both
+
+    from paif_tpu.attack.pgd import seg_attack_loss
+
+    ref, model, variables = models
+    ir, vis, label = data
+    jir = jnp.asarray(ir.transpose(0, 2, 3, 1))
+    jvis = jnp.asarray(vis.transpose(0, 2, 3, 1))
+    jlab = jnp.asarray(label)
+    iters = 3
+
+    monkeypatch.setattr(torch.Tensor, "uniform_", lambda self, *a, **k: self.zero_())
+    recorded = []
+    orig_backward = torch.Tensor.backward
+
+    def rec_backward(self, *a, **k):
+        recorded.append(float(self.detach()))
+        return orig_backward(self, *a, **k)
+
+    monkeypatch.setattr(torch.Tensor, "backward", rec_backward)
+
+    _, seg = model.apply(variables, jir, jvis)
+
+    for way in ("PGD", "segPGD", "cosPGD", "newPGD"):
+        recorded.clear()
+        attack_both(
+            ref,
+            X_vis=torch.from_numpy(vis),
+            X_ir=torch.from_numpy(ir),
+            label=torch.from_numpy(label),
+            epsilon=EPS,
+            alpha=0.0,
+            attack_iters=iters,
+            attack_way=way,
+        )
+        assert len(recorded) == iters, way
+        for step, want in enumerate(recorded):
+            got = float(seg_attack_loss(seg, jlab, way, jnp.asarray(step), iters))
+            np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5, err_msg=f"{way} step {step}")
+
+
+def test_fusion_pgd_loss_values_match_reference(models, data, monkeypatch):
+    """Golden loss-VALUE parity for the fusion-output-targeted attacks
+    (pgd_attack_ir / pgd_attack_vision, attack/attack.py:117-229) for
+    l_2 / l_1 / l_ssim, via the same alpha=0 fixed-delta trick; the loss is
+    captured from torch.autograd.grad's first argument."""
+    from attack import attack as ref_attack
+
+    from paif_tpu.attack.pgd import trans_format
+    from paif_tpu.ops.ssim import ssim
+
+    ref, model, variables = models
+    ir, vis, label = data
+    jir = jnp.asarray(ir.transpose(0, 2, 3, 1))
+    jvis = jnp.asarray(vis.transpose(0, 2, 3, 1))
+
+    monkeypatch.setattr(torch.Tensor, "uniform_", lambda self, *a, **k: self.zero_())
+    recorded = []
+    orig_grad = torch.autograd.grad
+
+    def rec_grad(outputs, *a, **k):
+        recorded.append(float(outputs.detach()))
+        return orig_grad(outputs, *a, **k)
+
+    monkeypatch.setattr(torch.autograd, "grad", rec_grad)
+
+    # An independent target: at delta=0 the loss vs the model's own clean
+    # fusion would be exactly 0 (a vacuous value check), so use a fixed
+    # random "clean fusion" image instead — the reference accepts any
+    # X_fusion argument.
+    t_target = torch.from_numpy(
+        np.random.default_rng(7).uniform(0, 1, vis.shape).astype(np.float32)
+    )
+
+    fused, _ = model.apply(variables, jir, jvis)
+    robust = trans_format(fused, jvis)
+    target = jnp.asarray(t_target.numpy().transpose(0, 2, 3, 1))
+
+    ours = {
+        "l_2": float(jnp.mean((robust - target) ** 2)),
+        "l_1": float(jnp.mean(jnp.abs(robust - target))),
+        "l_ssim": float(ssim(robust, target)),
+    }
+
+    for loss_name, fn, sign in (
+        ("l_2", ref_attack.pgd_attack_ir, 1.0),
+        ("l_1", ref_attack.pgd_attack_ir, 1.0),
+        ("l_ssim", ref_attack.pgd_attack_ir, 1.0),
+        ("l_2", ref_attack.pgd_attack_vision, -1.0),
+    ):
+        recorded.clear()
+        fn(
+            ref,
+            torch.from_numpy(vis),
+            torch.from_numpy(ir),
+            t_target,
+            torch.from_numpy(label),
+            epsilon=EPS,
+            alpha=0.0,
+            attack_iters=1,
+            attack_loss=loss_name,
+        )
+        assert len(recorded) == 1, loss_name
+        np.testing.assert_allclose(
+            sign * ours[loss_name], recorded[0], rtol=2e-3, atol=2e-5,
+            err_msg=f"{fn.__name__} {loss_name}",
+        )
+
+
 @pytest.mark.parametrize("way", ["segPGD", "cosPGD", "newPGD"])
 def test_attack_ways_run(models, data, way):
     _, model, variables = models
