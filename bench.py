@@ -38,6 +38,18 @@ def log(*a):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--dp",
+        action="store_true",
+        help="data-parallel over all devices: batch sharded over a 1-D mesh, "
+        "params replicated (auto when >1 device is visible)",
+    )
+    ap.add_argument("--batch", type=int, default=None, help="per-device batch size")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -49,6 +61,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
+    global BATCH, ATTACK_BATCH  # noqa: PLW0603
+    n_dev = len(jax.devices())
+    use_dp = args.dp or n_dev > 1
+    per_chip = args.batch or BATCH
+    BATCH = per_chip * n_dev if use_dp else per_chip
+    ATTACK_BATCH = ATTACK_BATCH * n_dev if use_dp else ATTACK_BATCH
     model = PAIFJoint(
         backbone="mit_b3",
         num_classes=9,
@@ -75,6 +93,14 @@ def main():
     variables_b = dict(variables, params=bf16(variables["params"]))
     ir_b, vis_b = ir.astype(jnp.bfloat16), vis.astype(jnp.bfloat16)
 
+    if use_dp:
+        from paif_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+        mesh = make_mesh()
+        variables_b = replicate(mesh, variables_b)
+        ir_b, vis_b = shard_batch(mesh, (ir_b, vis_b))
+        log(f"DP over {n_dev} devices: global batch {BATCH} ({per_chip}/chip)")
+
     # The jitted step reduces its outputs to ONE scalar that we read back to
     # host each iteration: a hard synchronization point that works even on
     # remote-tunnel platforms where block_until_ready returns early.
@@ -94,12 +120,18 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = min(times)
     pairs_per_sec = BATCH / dt
-    log(f"forward: best {dt * 1e3:.1f} ms/batch of {BATCH} -> {pairs_per_sec:.2f} pairs/s")
+    log(f"forward: best {dt * 1e3:.1f} ms/batch of {BATCH} -> {pairs_per_sec:.2f} pairs/s"
+        + (f" ({pairs_per_sec / n_dev:.2f}/chip)" if use_dp else ""))
 
     # PGD-5 attack throughput (the robust-eval hot loop), diagnostics only
     try:
         ab = ATTACK_BATCH
         label = jnp.asarray(rng.integers(0, 9, (ab, H, W)), jnp.int32)
+        atk_ir, atk_vis = ir_b[:ab], vis_b[:ab]
+        if use_dp:
+            from paif_tpu.parallel.mesh import shard_batch
+
+            label, atk_ir, atk_vis = shard_batch(mesh, (label, atk_ir, atk_vis))
         model_r = PAIFJoint(
             backbone="mit_b3",
             num_classes=9,
@@ -111,7 +143,7 @@ def main():
         )
 
         def run_atk(key):
-            d_ir, d_vis = atk(variables_b, ir_b[:ab], vis_b[:ab], label, key)
+            d_ir, d_vis = atk(variables_b, atk_ir, atk_vis, label, key)
             return float(jnp.sum(d_ir.astype(jnp.float32)) + jnp.sum(d_vis.astype(jnp.float32)))
 
         t0 = time.perf_counter()

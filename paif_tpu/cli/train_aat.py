@@ -62,11 +62,13 @@ def main(argv=None):
             vi_orig_path=args.vi_orig_path,
             crop_size=args.crop_size or cfg.train.crop_size,
             seed=cfg.seed,
+            label_path=cfg.dataset.label_path,
         )
         meta = True
+        meta_labels = cfg.dataset.label_path is not None
     else:
         dataset = build_dataset(cfg)
-        meta = False
+        meta = meta_labels = False
     hw = dataset[0][0].shape[:2]
     variables = build_variables(cfg, model, hw)
 
@@ -93,10 +95,12 @@ def main(argv=None):
     it = 0
     t0 = time.time()
     while it < cfg.train.max_iters:
-        keys = (
-            ("vis", "ir", "vis_orig", "ir_orig", "mask", "name") if meta
-            else ("vis", "ir", "label", "name")
-        )
+        if meta:
+            keys = ("vis", "ir", "vis_orig", "ir_orig", "mask") + (
+                ("label", "name") if meta_labels else ("name",)
+            )
+        else:
+            keys = ("vis", "ir", "label", "name")
         loader = PrefetchLoader(
             lambda: batch_iterator(dataset, cfg.dataset.batch_size, keys=keys, drop_last=True)
         )
@@ -104,12 +108,16 @@ def main(argv=None):
             ir = batch["ir"].astype(np.float32)
             vis = batch["vis"].astype(np.float32)
             if meta:
-                # Meta batches carry the decomposition mask but no seg labels
-                # (the reference's _loss_coupled gets labels from a separate
-                # loader); fall back to mask-thresholded 2-class labels so the
-                # seg term stays active.
                 mask = batch["mask"].astype(np.float32)
-                labels = (mask[..., 0] > 0.5).astype(np.int32)
+                if meta_labels:
+                    labels = batch["label"].astype(np.int32)
+                else:
+                    # The reference's coupled loader carries no seg labels
+                    # (_loss_coupled's labels come from its unreleased
+                    # caller); without --label_path fall back to
+                    # mask-thresholded 2-class labels so the seg term stays
+                    # active.
+                    labels = (mask[..., 0] > 0.5).astype(np.int32)
             else:
                 labels = batch["label"]
                 # mask target: reference AAT uses a decomposition mask; fall

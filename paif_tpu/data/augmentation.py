@@ -22,8 +22,13 @@ class RandomFlip:
 
 
 class RandomCrop:
-    """Crop a random margin of up to crop_rate on each side (ref semantics:
-    indexes named w/h are swapped but operate on axes 0/1 consistently)."""
+    """Crop a random margin of up to crop_rate on each side.
+
+    Draw order mirrors the reference exactly (util/augmentation.py:24-36,
+    which names shape (w, h) but slices [w1:w2, h1:h2]): axis-1 low bound
+    first, then axis-0 low, axis-1 high, axis-0 high. Bounds are guarded
+    with max(..., 1) so images smaller than 1/crop_rate don't raise (the
+    reference errors there)."""
 
     def __init__(self, crop_rate: float = 0.1, prob: float = 1.0):
         self.crop_rate = crop_rate
@@ -31,13 +36,13 @@ class RandomCrop:
 
     def __call__(self, image, label, rng: np.random.Generator):
         if rng.random() < self.prob:
-            h, w = image.shape[:2]
-            h1 = int(rng.integers(0, max(int(h * self.crop_rate), 1)))
-            w1 = int(rng.integers(0, max(int(w * self.crop_rate), 1)))
-            h2 = int(rng.integers(h - int(h * self.crop_rate), h + 1))
-            w2 = int(rng.integers(w - int(w * self.crop_rate), w + 1))
-            image = image[h1:h2, w1:w2]
-            label = label[h1:h2, w1:w2]
+            h0, w0 = image.shape[:2]
+            c1 = int(rng.integers(0, max(int(w0 * self.crop_rate), 1)))  # axis-1 low
+            r1 = int(rng.integers(0, max(int(h0 * self.crop_rate), 1)))  # axis-0 low
+            c2 = int(rng.integers(w0 - int(w0 * self.crop_rate), w0 + 1))  # axis-1 high
+            r2 = int(rng.integers(h0 - int(h0 * self.crop_rate), h0 + 1))  # axis-0 high
+            image = image[r1:r2, c1:c2]
+            label = label[r1:r2, c1:c2]
         return image, label
 
 
@@ -50,15 +55,17 @@ class RandomCropOut:
 
     def __call__(self, image, label, rng: np.random.Generator):
         if rng.random() < self.prob:
-            h, w = image.shape[:2]
-            h1 = int(rng.integers(0, max(int(h * self.crop_rate), 1)))
-            w1 = int(rng.integers(0, max(int(w * self.crop_rate), 1)))
-            h2 = h1 + int(h * self.crop_rate)
-            w2 = w1 + int(w * self.crop_rate)
+            h0, w0 = image.shape[:2]
+            # reference draw order (util/augmentation.py:47-55): axis-1
+            # window first, then axis-0
+            c1 = int(rng.integers(0, max(int(w0 * self.crop_rate), 1)))
+            r1 = int(rng.integers(0, max(int(h0 * self.crop_rate), 1)))
+            c2 = c1 + int(w0 * self.crop_rate)
+            r2 = r1 + int(h0 * self.crop_rate)
             image = image.copy()
             label = label.copy()
-            image[h1:h2, w1:w2] = 0
-            label[h1:h2, w1:w2] = 0
+            image[r1:r2, c1:c2] = 0
+            label[r1:r2, c1:c2] = 0
         return image, label
 
 

@@ -82,8 +82,12 @@ class FusionDataset:
 class FusionMetaDataset:
     """AAT coupled loader (TaskFusion_dataset2.Fusion_dataset_Meta:110-214):
     perturbed + original image pairs and a float mask target, random
-    crop_size x crop_size crops. Items:
-    (vis, ir, vis_orig, ir_orig, mask (H,W,1) float, name)."""
+    crop_size x crop_size crops (one crop window shared by every tensor of
+    the item, as in the reference). Items:
+    (vis, ir, vis_orig, ir_orig, mask (H,W,1) float, name) or, when a seg
+    label dir is given (beyond the reference, whose coupled loader carries no
+    seg labels — _loss_coupled's labels come from its unreleased caller):
+    (vis, ir, vis_orig, ir_orig, mask, label (H,W) int64, name)."""
 
     def __init__(
         self,
@@ -94,12 +98,14 @@ class FusionMetaDataset:
         vi_orig_path: str,
         crop_size: int = 256,
         seed: int = 0,
+        label_path: Optional[str] = None,
     ):
         self.filepath_vis, self.filenames = prepare_data_path(vi_path)
         self.filepath_ir, _ = prepare_data_path(ir_path)
         self.filepath_mask, _ = prepare_data_path(mask_path)
         self.filepath_iro, _ = prepare_data_path(ir_orig_path)
         self.filepath_viso, _ = prepare_data_path(vi_orig_path)
+        self.filepath_label = prepare_data_path(label_path)[0] if label_path else None
         self.crop = crop_size
         self.rng = np.random.default_rng(seed)
         self.length = min(len(self.filepath_vis), len(self.filepath_ir))
@@ -118,6 +124,9 @@ class FusionMetaDataset:
         w = int(self.rng.integers(0, max(w_max, 1)))
         sl = np.s_[h : h + self.crop, w : w + self.crop]
         name = os.path.basename(self.filepath_vis[index])
+        if self.filepath_label is not None:
+            label = _load_label(self.filepath_label[index])[sl]
+            return vis[sl], ir[sl], viso[sl], iro[sl], mask[sl], label, name
         return vis[sl], ir[sl], viso[sl], iro[sl], mask[sl], name
 
 
@@ -140,7 +149,9 @@ class MFDataset:
         h, w = self.input_hw
         img = Image.open(os.path.join(self.data_dir, "images", name + ".png"))
         lab = Image.open(os.path.join(self.data_dir, "labels", name + ".png"))
-        img = np.array(img.resize((w, h), Image.BILINEAR), dtype=np.float32) / 255.0
+        # PIL's default resample (bicubic for multi-channel modes) — the
+        # reference resizes with no resample argument (util/MF_dataset.py:39)
+        img = np.array(img.resize((w, h)), dtype=np.float32) / 255.0
         lab = np.array(lab.resize((w, h), Image.NEAREST), dtype=np.int64)
         # MFNet 4-channel images: RGB + thermal
         vis = img[..., :3]

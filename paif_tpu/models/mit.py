@@ -27,7 +27,20 @@ from paif_tpu.ops.pallas.sr_attention import pallas_attention_enabled, sr_attent
 
 
 def _gelu(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.nn.gelu(x, approximate=False)
+    """Exact (erf) GELU, computed in f32.
+
+    Measured on v5e (scripts/bench_ffn.py): erf on a *bf16* tensor sitting
+    between the Mix-FFN depthwise conv and the fc2 matmul triggers a
+    pathological XLA lowering — the fc1+dwconv+gelu+fc2 chain runs ~6.5x
+    slower (7.5 ms vs 1.15 ms net at stage-3 shapes, batch 8). Upcasting
+    just the GELU to f32 (or a barrier after the conv) removes it entirely.
+    For f32 inputs the casts are no-ops, so reference parity is unchanged;
+    for bf16 it is also *more* accurate. torch.nn.GELU default is exact erf
+    (mix_transformer.py Mlp), so the tanh approximation is not an option.
+    """
+    if x.dtype == jnp.float32:
+        return jax.nn.gelu(x, approximate=False)
+    return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
 
 
 class DropPath(nn.Module):

@@ -171,7 +171,11 @@ class ReCoNet(nn.Module):
                 f = dconvs[d](x)
                 if dnorms is not None:
                     f = dnorms[d](f, use_running_average=not train)
-                feats.append(jax.nn.gelu(f, approximate=False))
+                # exact erf GELU in f32: see models/mit.py _gelu (bf16 erf
+                # after a conv hits a pathological XLA lowering on TPU)
+                feats.append(
+                    jax.nn.gelu(f.astype(jnp.float32), approximate=False).astype(f.dtype)
+                )
             i_f = jnp.tanh(conv_s(jnp.concatenate(feats, axis=-1)))
         return i_f
 

@@ -5,8 +5,9 @@ the searchable op library — its search code is unreleased (README.md:47-48).
 This module rebuilds that capability TPU-first: a supernet whose chain slots
 hold softmax-weighted mixtures over the candidate primitives
 (operations_m.py:19-28 PRIMITIVES_BLOCK), differentiable architecture
-parameters optimized jointly (single-level DARTS), and genotype derivation
-by argmax.
+parameters optimized jointly (single-level) or on a held-out split
+(first-order bilevel DARTS, make_bilevel_search_step), and genotype
+derivation by argmax.
 """
 
 from paif_tpu.search.darts import (
@@ -16,6 +17,7 @@ from paif_tpu.search.darts import (
     SuperFusionNet,
     derive_genotype,
     make_search_step,
+    make_bilevel_search_step,
     SearchState,
     create_search_state,
 )
@@ -27,6 +29,7 @@ __all__ = [
     "SuperFusionNet",
     "derive_genotype",
     "make_search_step",
+    "make_bilevel_search_step",
     "SearchState",
     "create_search_state",
 ]

@@ -146,16 +146,21 @@ class SearchState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
 
+def param_labels(params: Any) -> Any:
+    """'arch' for the SuperMixedOp alpha leaves, 'weights' elsewhere."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: "arch" if str(p[-1].key if hasattr(p[-1], "key") else p[-1]) == "alpha"
+        and not any("cand" in str(q) for q in p)
+        else "weights",
+        params,
+    )
+
+
 def create_search_state(
     model: SuperFusionNet, variables, lr: float = 1e-3, arch_lr_mult: float = 3.0
 ) -> SearchState:
     """Adam over weights + a faster Adam over the alpha parameters."""
-    labels = jax.tree_util.tree_map_with_path(
-        lambda p, x: "arch" if str(p[-1].key if hasattr(p[-1], "key") else p[-1]) == "alpha"
-        and not any("cand" in str(q) for q in p)
-        else "weights",
-        variables["params"],
-    )
+    labels = param_labels(variables["params"])
     tx = optax.multi_transform(
         {"weights": optax.adam(lr), "arch": optax.adam(lr * arch_lr_mult)}, labels
     )
@@ -192,6 +197,56 @@ def make_search_step(model: SuperFusionNet, fusion_loss_fn):
         return (
             state.replace(step=state.step + 1, params=params, batch_stats=new_bs, opt_state=opt_state),
             loss,
+        )
+
+    return step
+
+
+def make_bilevel_search_step(model: SuperFusionNet, fusion_loss_fn):
+    """First-order bilevel DARTS (Liu et al. 2019, the practical xi=0 rule):
+    weights step on the TRAIN split with alphas frozen, alphas step on the
+    VAL split with weights frozen. Realized as one fused jitted update —
+    both gradient passes run back-to-back on device and a single
+    multi_transform update consumes the merged gradient tree (train grads
+    for 'weights' leaves, val grads for 'arch' leaves), so the two-split
+    recipe costs one XLA dispatch per step.
+
+    fn(state, (ir_t, vis_t, mask_t), (ir_v, vis_v, mask_v))
+      -> (state, train_loss, val_loss)
+    """
+
+    def loss_fn(params, state, ir, vis, mask):
+        fused, mut = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            ir,
+            vis,
+            True,
+            mutable=["batch_stats", "arch"],
+        )
+        return fusion_loss_fn(ir, vis, fused, mask), mut["batch_stats"]
+
+    @jax.jit
+    def step(state: SearchState, train_batch, val_batch):
+        ir_t, vis_t, mask_t = train_batch
+        ir_v, vis_v, mask_v = val_batch
+        (train_loss, new_bs), g_train = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state, ir_t, vis_t, mask_t
+        )
+        (val_loss, _), g_val = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state, ir_v, vis_v, mask_v
+        )
+        labels = param_labels(state.params)
+        grads = jax.tree_util.tree_map(
+            lambda lbl, gt, gv: gv if lbl == "arch" else gt, labels, g_train, g_val
+        )
+        updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                step=state.step + 1, params=params, batch_stats=new_bs, opt_state=opt_state
+            ),
+            train_loss,
+            val_loss,
         )
 
     return step

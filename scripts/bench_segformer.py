@@ -28,7 +28,11 @@ def timeit(name, fn, *args, gflops=None, iters=4, reps=8):
         acc = jnp.float32(0)
         for _ in range(reps):
             out = fn(*a)
-            s = sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree_util.tree_leaves(out))
+            s = sum(
+                jnp.sum(x.astype(jnp.float32))
+                for x in jax.tree_util.tree_leaves(out)
+                if hasattr(x, "astype")
+            )
             acc = acc + s
             a[0] = jax.tree_util.tree_map(lambda t: t + (s * 0).astype(t.dtype), a[0])
         return acc
@@ -105,7 +109,7 @@ def main():
         jnp.asarray(rng.normal(0, 1, (B, H // (4 * 2**s), W // (4 * 2**s), dims[s])), dt)
         for s in range(4)
     ]
-    head = SegFormerHead(num_classes=9, embed_dim=256)
+    head = SegFormerHead(num_classes=9, embedding_dim=256)
     hv = jax.tree_util.tree_map(
         lambda t: t.astype(dt) if t.dtype == jnp.float32 else t,
         head.init(jax.random.PRNGKey(0), feats),

@@ -84,6 +84,41 @@ def test_eval_runs_on_mesh():
     assert abs(m_mesh["iou_mean"] - m_single["iou_mean"]) < 1e-6
 
 
+def test_bench_dp_forward_shards_and_matches():
+    """bench.py's --dp path, structurally: params replicated, batch sharded
+    1/N per device over the mesh, jitted DP forward numerically equal to the
+    single-device forward (VERDICT round-1 next #6)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import jax.numpy as jnp
+
+    from paif_tpu.genotype import PAIF_GENOTYPE
+    from paif_tpu.models import FusionNetSearched, PAIFJoint
+    from paif_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    n = len(jax.devices())
+    model = PAIFJoint(
+        backbone="mit_b0", num_classes=9, fusion=lambda: FusionNetSearched(8, PAIF_GENOTYPE)
+    )
+    rng = np.random.default_rng(0)
+    ir = jnp.asarray(rng.uniform(0, 1, (n * 2, 32, 32, 1)), jnp.float32)
+    vis = jnp.asarray(rng.uniform(0, 1, (n * 2, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), ir[:1], vis[:1])
+
+    single = jax.jit(model.apply)(variables, ir, vis)
+
+    mesh = make_mesh()
+    v_rep = replicate(mesh, variables)
+    ir_s, vis_s = shard_batch(mesh, (ir, vis))
+    # each device holds exactly batch/N rows
+    shards = ir_s.addressable_shards
+    assert len(shards) == n
+    assert all(s.data.shape[0] == 2 for s in shards)
+    dp = jax.jit(model.apply)(v_rep, ir_s, vis_s)
+    for a, b in zip(jax.tree_util.tree_leaves(single), jax.tree_util.tree_leaves(dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
 def test_train_aat_cli_smoke(tmp_path):
     from paif_tpu.cli.train_aat import main
 
