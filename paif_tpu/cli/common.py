@@ -83,7 +83,7 @@ def attack_config(cfg: Config) -> AttackConfig:
     )
 
 
-def build_model(cfg: Config, remat: bool = False) -> PAIFJoint:
+def build_model(cfg: Config, remat: bool | Tuple[int, ...] = False) -> PAIFJoint:
     m = cfg.model
     genotype: Genotype = m.genotype
     if m.fusion_model == "searched":

@@ -21,6 +21,12 @@ class FusionNetSearched(nn.Module):
     """Inputs: ir (B,H,W,>=1), vis_y (B,H,W,>=1) — channel 0 of each is used.
 
     Returns the fused luminance (B,H,W,1) in tanh range.
+
+    TPU layout: when PAIF_PACKED is on (default) and H,W are even, the whole
+    body runs on a 2x2 space-to-depth packing — C=32 becomes 128 packed
+    channels, exactly one lane tile, removing the 4x lane-padding tax on
+    every conv and elementwise op (see ops/packed.py). Parameter tree and
+    outputs are identical to the plain layout up to f32 summation order.
     """
 
     features: int = 32
@@ -28,24 +34,48 @@ class FusionNetSearched(nn.Module):
 
     @nn.compact
     def __call__(self, ir: jnp.ndarray, vis: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from paif_tpu.ops.packed import (
+            is_packed,
+            pack,
+            packed_enabled,
+            packed_mode,
+            tile_gate_packed,
+            unpack,
+        )
+
         c = self.features
         g = self.genotype
         ir = ir[..., 0:1]
         vis = vis[..., 0:1]
 
-        fir = PReLU(name="stem_1_act")(Conv(c, 3, name="stem_1")(ir))
-        fvis = PReLU(name="stem_2_act")(Conv(c, 3, name="stem_2")(vis))
+        use_packed = (
+            packed_enabled()
+            and not is_packed()  # tolerate nesting: caller may already pack
+            and ir.shape[1] % 2 == 0
+            and ir.shape[2] % 2 == 0
+        )
+        if use_packed:
+            ir, vis = pack(ir), pack(vis)
 
-        ir_feat, vis_feat = CellDecom(
-            c, g.ops("normal_1"), g.ops("normal_2"), name="decompation"
-        )(fir, fvis, train)
+        with packed_mode(use_packed or is_packed()):
+            fir = PReLU(name="stem_1_act")(Conv(c, 3, name="stem_1")(ir))
+            fvis = PReLU(name="stem_2_act")(Conv(c, 3, name="stem_2")(vis))
 
-        scale = CrossModalSpatialGate(name="spa")(ir_feat, vis_feat, train)
-        aggregated = scale * ir_feat + (1.0 - scale) * vis_feat
+            ir_feat, vis_feat = CellDecom(
+                c, g.ops("normal_1"), g.ops("normal_2"), name="decompation"
+            )(fir, fvis, train)
 
-        refined = CellChain(c, g.ops("normal_3"), name="chain")(aggregated, train)
+            scale = CrossModalSpatialGate(name="spa")(ir_feat, vis_feat, train)
+            if is_packed():
+                scale = tile_gate_packed(scale, c)
+            aggregated = scale * ir_feat + (1.0 - scale) * vis_feat
 
-        out = Conv(c // 2, 3, name="stem_out_0")(refined)
-        out = Conv(1, 3, name="stem_out_1")(out)
-        out = PReLU(name="stem_out_act")(out)
+            refined = CellChain(c, g.ops("normal_3"), name="chain")(aggregated, train)
+
+            out = Conv(c // 2, 3, name="stem_out_0")(refined)
+            out = Conv(1, 3, name="stem_out_1")(out)
+            out = PReLU(name="stem_out_act")(out)
+
+        if use_packed:
+            out = unpack(out)
         return jnp.tanh(out)

@@ -38,7 +38,9 @@ class SegFormer(nn.Module):
     backbone: str = "mit_b3"
     num_classes: int = 9
     embedding_dim: int = 256
-    remat: bool = False  # per-block remat in the encoder (PGD memory)
+    # Encoder block remat (PGD memory): False / True / tuple of stage indices
+    # — see MixVisionTransformer.remat.
+    remat: bool | Tuple[int, ...] = False
 
     def setup(self):
         self.encoder = mit(self.backbone, remat=self.remat)
@@ -63,7 +65,8 @@ class PAIFJoint(nn.Module):
     # name) so any fusion net can play the reference's CompModel role while
     # the submodule keeps the canonical name 'enhance_net'.
     fusion: Optional[Callable[[], nn.Module]] = None
-    remat: bool = False  # per-block remat in the encoder (PGD memory)
+    # Encoder block remat (PGD memory): False / True / tuple of stage indices.
+    remat: bool | Tuple[int, ...] = False
 
     def setup(self):
         self.enhance_net = self.fusion() if self.fusion is not None else FusionNetSearched()

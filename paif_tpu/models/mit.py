@@ -206,10 +206,18 @@ class MixVisionTransformer(nn.Module):
     sr_ratios: Sequence[int] = (8, 4, 2, 1)
     mlp_ratios: Sequence[int] = (4, 4, 4, 4)
     drop_path_rate: float = 0.1
-    # Rematerialize each transformer block in the backward pass: activation
+    # Rematerialize transformer blocks in the backward pass: activation
     # memory drops from O(depth) to O(1) blocks — required to fit batched
     # PGD (fwd+bwd per attack step) in HBM at 480x640.
-    remat: bool = False
+    #   False        -> no remat
+    #   True         -> remat every block (max memory savings, ~2x fwd FLOPs
+    #                   in the backward)
+    #   (0, 1, ...)  -> remat only those stages (0-indexed). The activation
+    #                   bytes live in stages 0-1 (19200/4800 tokens) while
+    #                   ~70% of the encoder FLOPs live in stage 2 (18 blocks
+    #                   at b3), so remat=(0, 1) keeps PGD in HBM at a
+    #                   fraction of full-remat's recompute cost.
+    remat: bool | Tuple[int, ...] = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -217,10 +225,16 @@ class MixVisionTransformer(nn.Module):
         dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
         # static_argnums indexes the bound call (0 = module): mark the hw
         # tuple (2) and the deterministic flag (3) static.
-        block_cls = nn.remat(Block, static_argnums=(2, 3)) if self.remat else Block
+        remat_block = nn.remat(Block, static_argnums=(2, 3))
         outs = []
         cur = 0
         for s in range(4):
+            if self.remat is True:
+                block_cls = remat_block
+            elif self.remat and s in self.remat:
+                block_cls = remat_block
+            else:
+                block_cls = Block
             patch, stride = (7, 4) if s == 0 else (3, 2)
             tokens, (h, w) = OverlapPatchEmbed(
                 self.embed_dims[s], patch, stride, name=f"patch_embed{s + 1}"
@@ -241,7 +255,11 @@ class MixVisionTransformer(nn.Module):
         return outs
 
 
-def mit(name: str, drop_path_rate: float | None = None, remat: bool = False) -> MixVisionTransformer:
+def mit(
+    name: str,
+    drop_path_rate: float | None = None,
+    remat: bool | Tuple[int, ...] = False,
+) -> MixVisionTransformer:
     dims, heads, depths, srs, mlps, dpr = MIT_CONFIGS[name]
     return MixVisionTransformer(
         embed_dims=dims,

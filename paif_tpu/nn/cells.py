@@ -44,7 +44,14 @@ class CellChain(nn.Module):
 
 
 def residue(x: jnp.ndarray) -> jnp.ndarray:
-    """Per-pixel channel max - min -> (B,H,W,1). model_fusion_auto.py:517-521."""
+    """Per-pixel channel max - min -> (B,H,W,1). model_fusion_auto.py:517-521.
+
+    Packed-layout aware: on (B,H',W',4C) input the reduction runs per phase
+    and returns the packed 1-channel residue (B,H',W',4)."""
+    from paif_tpu.ops.packed import channel_reduce_packed, is_packed
+
+    if is_packed():
+        return channel_reduce_packed(x, jnp.max) - channel_reduce_packed(x, jnp.min)
     return (jnp.max(x, axis=-1) - jnp.min(x, axis=-1))[..., None]
 
 

@@ -49,31 +49,51 @@ def conv_padding(kernel_size: int, dilation: int = 1) -> int:
 
 class SmallConv2d(nn.Module):
     """Stride-1 'same' conv with the same parameter tree as nn.Conv
-    ('kernel' HWIO + optional 'bias'), dispatching to the Pallas small-
-    channel kernel (ops/pallas/small_conv.py) when enabled and profitable,
-    else to lax.conv via the standard path."""
+    ('kernel' HWIO + optional 'bias').
+
+    Dispatch, in priority order:
+      * packed layout (ops/packed.py): when the fusion branch runs in 2x2
+        space-to-depth form, the input is (B,H/2,W/2,4*c_in) and the conv
+        executes as a scattered-kernel conv with 128 unpadded lanes. The
+        parameter tree is UNCHANGED (kernel stays (k,k,c_in,features)).
+      * Pallas small-channel kernel (ops/pallas/small_conv.py) when enabled
+        and profitable (opt-in via PAIF_PALLAS_CONV=1 — wins isolated 7x7
+        but regresses the full graph).
+      * lax.conv on plain NHWC otherwise.
+    """
 
     features: int
     kernel_size: int
     dilation: int = 1
     use_bias: bool = False
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from paif_tpu.ops.packed import conv_same_packed, is_packed
         from paif_tpu.ops.pallas.small_conv import conv2d_same_small, pallas_conv_enabled
 
         k = self.kernel_size
-        c_in = x.shape[-1]
+        packed = is_packed()
+        c_in = x.shape[-1] // 4 if packed else x.shape[-1]
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (k, k, c_in, self.features), jnp.float32
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, c_in // self.groups, self.features),
+            jnp.float32,
         )
         if kernel.dtype != x.dtype:
             kernel = kernel.astype(x.dtype)
-        # The tap-stacked Pallas kernel wins for isolated large kernels
-        # (7x7: 34 vs 50 ms on v5e) but regresses the full model (see
-        # pallas_conv_enabled); opt-in via PAIF_PALLAS_CONV=1.
-        use_pallas = pallas_conv_enabled() and max(c_in, self.features) <= 64 and k >= 5
-        if use_pallas:
+        use_pallas = (
+            not packed
+            and self.groups == 1
+            and pallas_conv_enabled()
+            and max(c_in, self.features) <= 64
+            and k >= 5
+        )
+        if packed:
+            y = conv_same_packed(x, kernel, self.dilation, groups=self.groups)
+        elif use_pallas:
             y = conv2d_same_small(x, kernel, self.dilation)
         else:
             pad = conv_padding(k, self.dilation)
@@ -83,12 +103,14 @@ class SmallConv2d(nn.Module):
                 (1, 1),
                 [(pad, pad), (pad, pad)],
                 rhs_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 precision=get_precision(),
             )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            y = y + bias.astype(y.dtype)
+            bias = bias.astype(y.dtype)
+            y = y + (jnp.repeat(bias, 4) if packed else bias)
         return y
 
 
@@ -104,16 +126,17 @@ def Conv(
 ):
     """Square-kernel conv, symmetric 'same' padding by default, HWIO.
 
-    Stride-1, ungrouped, same-padded convs return SmallConv2d, which routes
-    small-channel cases through the Pallas kernel on TPU (identical param
-    tree, so checkpoints/importer are unaffected)."""
+    Stride-1 same-padded convs return SmallConv2d, which routes the packed
+    (space-to-depth) layout and the opt-in Pallas small-channel kernel
+    (identical param tree, so checkpoints/importer are unaffected)."""
     pad = padding if padding is not None else conv_padding(kernel_size, dilation)
-    if stride == 1 and groups == 1 and pad == conv_padding(kernel_size, dilation):
+    if stride == 1 and pad == conv_padding(kernel_size, dilation):
         return SmallConv2d(
             features=features,
             kernel_size=kernel_size,
             dilation=dilation,
             use_bias=use_bias,
+            groups=groups,
             name=name,
         )
     return nn.Conv(
@@ -134,24 +157,70 @@ def Conv3x3(features: int, stride: int = 1, name: Optional[str] = None) -> nn.Co
     return Conv(features, 3, stride=stride, use_bias=False, name=name)
 
 
+class BatchNorm2d(nn.Module):
+    """BatchNorm over channels with the same variable tree as nn.BatchNorm
+    (params scale/bias, batch_stats mean/var) and torch-compatible eval
+    semantics, plus packed-layout awareness: on a (B,H',W',4C) packed tensor
+    the statistics are per ORIGINAL channel (params stay (C,)).
+
+    Variance is the biased batch variance for both normalization and the
+    running update (flax convention, matching the round-1 nn.BatchNorm
+    behavior; torch uses unbiased for the running update — irrelevant for
+    imported checkpoints, which only read running stats).
+    """
+
+    affine: bool = True
+    eps: float = 1e-5
+    momentum: float = 0.99  # flax convention: ra = m*ra + (1-m)*batch
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
+        from paif_tpu.ops.packed import is_packed
+
+        packed = is_packed()
+        c = x.shape[-1] // 4 if packed else x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x32 = x.astype(jnp.float32)
+            if packed:
+                xr = x32.reshape(*x.shape[:-1], c, 4)
+                mean = jnp.mean(xr, axis=(0, 1, 2, 4))
+                var = jnp.mean(jnp.square(xr), axis=(0, 1, 2, 4)) - jnp.square(mean)
+            else:
+                mean = jnp.mean(x32, axis=(0, 1, 2))
+                var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1.0 - self.momentum) * var
+        inv = jax.lax.rsqrt(var + self.eps)
+        off = jnp.zeros_like(mean)
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            inv = inv * scale
+            off = bias
+        if packed:
+            mean, inv, off = (jnp.repeat(t, 4) for t in (mean, inv, off))
+        return ((x - mean.astype(x.dtype)) * inv.astype(x.dtype) + off.astype(x.dtype)).astype(
+            x.dtype
+        )
+
+
 def BatchNorm(
     affine: bool = True,
     eps: float = 1e-5,
     momentum: float = 0.1,
     name: Optional[str] = None,
-) -> nn.BatchNorm:
+) -> BatchNorm2d:
     """BatchNorm over the channel axis with torch-compatible defaults.
 
     Call with `use_running_average=not train`. torch momentum m means
     new = (1-m)*old + m*batch, i.e. flax momentum = 1-m.
     """
-    return nn.BatchNorm(
-        momentum=1.0 - momentum,
-        epsilon=eps,
-        use_bias=affine,
-        use_scale=affine,
-        name=name,
-    )
+    return BatchNorm2d(affine=affine, eps=eps, momentum=1.0 - momentum, name=name)
 
 
 class PReLU(nn.Module):
@@ -203,7 +272,17 @@ class BasicConv(nn.Module):
 
 
 def channel_pool(x: jnp.ndarray) -> jnp.ndarray:
-    """(max, mean) over channels -> (B,H,W,2). operations_m.py:148-150."""
+    """(max, mean) over channels -> (B,H,W,2). operations_m.py:148-150.
+
+    Packed-layout aware: on (B,H',W',4C) input the reductions run per phase
+    and the result is the packed form of the plain output (channel order
+    stat-major/phase-minor == c-major)."""
+    from paif_tpu.ops.packed import channel_reduce_packed, is_packed
+
+    if is_packed():
+        return jnp.concatenate(
+            [channel_reduce_packed(x, jnp.max), channel_reduce_packed(x, jnp.mean)], axis=-1
+        )
     return jnp.concatenate(
         [jnp.max(x, axis=-1, keepdims=True), jnp.mean(x, axis=-1, keepdims=True)], axis=-1
     )

@@ -72,7 +72,14 @@ class ECALayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = jnp.mean(x, axis=(1, 2))  # (B, C)
+        from paif_tpu.ops.packed import is_packed
+
+        packed = is_packed()
+        if packed:
+            c = x.shape[-1] // 4
+            y = jnp.mean(x.reshape(*x.shape[:3], c, 4), axis=(1, 2, 4))  # (B, C)
+        else:
+            y = jnp.mean(x, axis=(1, 2))  # (B, C)
         # 1D conv along the channel axis, 1 in/out feature, no bias
         y = nn.Conv(
             features=1,
@@ -82,8 +89,10 @@ class ECALayer(nn.Module):
             precision=get_precision(),
             name="conv1d",
         )(y[..., None])[..., 0]
-        gate = nn.sigmoid(y)[:, None, None, :]
-        return x * gate
+        gate = nn.sigmoid(y)
+        if packed:
+            gate = jnp.repeat(gate, 4, axis=-1)
+        return x * gate[:, None, None, :]
 
 
 class ECABasicBlock(nn.Module):
@@ -110,8 +119,13 @@ class SpatialAttnLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from paif_tpu.ops.packed import is_packed, tile_gate_packed
+
         gate = BasicConv(1, self.kernel_size, relu=False, name="spatial")(channel_pool(x), train)
-        return x * nn.sigmoid(gate)
+        gate = nn.sigmoid(gate)
+        if is_packed():
+            gate = tile_gate_packed(gate, x.shape[-1] // 4)
+        return x * gate
 
 
 class SpatialBasicBlock(nn.Module):
@@ -179,9 +193,15 @@ class SelfPath(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        b, h, w, c = x.shape
+        from paif_tpu.ops.packed import is_packed, pack, unpack
+
+        packed = is_packed()
         prelu = PReLU(name="act")
-        res = prelu(Conv(c, 3, use_bias=True, name="conv_in")(x))
+        res = prelu(Conv(self.features, 3, use_bias=True, name="conv_in")(x))
+        if packed:
+            # the MHSA body needs true (row-major) token order
+            res = unpack(res)
+        b, h, w, c = res.shape
         tokens = res.reshape(b, h * w, c)
         inner = self.dim_head * self.num_heads
         qkv = nn.Dense(inner * 3, use_bias=False, precision=get_precision(), name="to_qkv")(tokens)
@@ -199,7 +219,9 @@ class SelfPath(nn.Module):
             out = nn.Dense(c, precision=get_precision(), name="to_out")(out)
         out = nn.LayerNorm(name="norm")(out)
         out = out.reshape(b, h, w, c)
-        return prelu(Conv(c, 3, use_bias=True, name="conv_out")(out))
+        if packed:
+            out = pack(out)
+        return prelu(Conv(self.features, 3, use_bias=True, name="conv_out")(out))
 
 
 # Registry keyed exactly like the reference OPS dict (operations_m.py:9-18).

@@ -1,0 +1,188 @@
+"""Space-to-depth "packed" layout for small-channel convs on TPU.
+
+Why: fusion-branch tensors are (B,480,640,32) NHWC. The TPU vector layout
+tiles the minor (channel) dim to 128 lanes, so C=32 wastes 75% of every
+vector register, every HBM transfer, AND the MXU: a C=32 conv runs at the
+wall time of a C=128 one (round-1 finding, confirmed by the padded-buffer
+dumps: 150 MB tensors occupy 600 MB). Effective MXU utilization ~6%.
+
+Fix: operate on a 2x2 space-to-depth packing, (B,H,W,C) -> (B,H/2,W/2,4C).
+With C=32 the packed channel dim is exactly 128 — zero lane padding. A
+stride-1 SAME conv on the original tensor becomes a stride-1 SAME conv on
+the packed tensor with a *scattered* kernel:
+
+    y[2i+qi, 2j+qj, o] = sum_{dy,dx,c} w[dy,dx,c,o] x[2i+qi+dy, 2j+qj+dx, c]
+
+Writing 2i+qi+dy = 2(i+dy') + pi (dy' = floor((qi+dy)/2), pi = (qi+dy)%2)
+turns the tap sum into a conv over packed blocks with kernel
+
+    wp[dy',dx', (c,pi,pj), (o,qi,qj)] = w[dy,dx,c,o]   (0 where |dy|>r)
+
+whose packed spatial extent is ceil over phases: k=3 -> 3x3, k=5 -> 3x3,
+k=7 -> 5x5. The structural zeros cost extra MXU FLOPs (x4 for k=3, x1.44
+for k=5, x2 for k=7) but utilization rises 16x, a 4-11x net win, and every
+elementwise op in between moves 4x less HBM.
+
+Channel order is c-major, phase-minor: packed channel = c*4 + (pi*2 + pj).
+This makes the layout compose:
+  * concat along channels of packed tensors == pack of the concat;
+  * channel reductions (max/mean/residue) are a reshape (...,C,4) + reduce;
+  * per-phase broadcasts tile contiguously;
+  * depthwise convs keep contiguous groups (group c = channels [4c, 4c+4)).
+
+All code here is layout plumbing over lax.conv / einsum — XLA still does
+the heavy lifting. Reference parity is exact up to f32 summation order
+(the scattered-kernel conv computes the same sums as the NHWC conv).
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paif_tpu.nn.layers import get_precision
+
+# Trace-time layout flag. Set by FusionNetSearched around its body; layers
+# consult it to decide packed vs plain execution. Safe under jit: the flag
+# only exists while Python traces the forward, and each (model, flag) combo
+# is its own trace.
+_PACKED_MODE = False
+
+
+def is_packed() -> bool:
+    return _PACKED_MODE
+
+
+@contextmanager
+def packed_mode(on: bool = True):
+    global _PACKED_MODE
+    prev = _PACKED_MODE
+    _PACKED_MODE = on
+    try:
+        yield
+    finally:
+        _PACKED_MODE = prev
+
+
+def packed_enabled() -> bool:
+    """Env gate (PAIF_PACKED, default on). Disable to A/B the plain layout."""
+    return os.environ.get("PAIF_PACKED", "1") not in ("0", "false", "off")
+
+
+def pack(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,H,W,C) -> (B,H/2,W/2,4C), channel = c*4 + pi*2 + pj."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (B,H',W',C,pi,pj)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def unpack(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,H',W',4C) -> (B,2H',2W',C)."""
+    b, hp, wp, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, hp, wp, c, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # (B,H',pi,W',pj,C)
+    return x.reshape(b, 2 * hp, 2 * wp, c)
+
+
+@lru_cache(maxsize=64)
+def _scatter_tensor(k: int, dilation: int) -> Tuple[np.ndarray, int]:
+    """S[(t', pq, qq), t] selection for one spatial axis pair, plus packed
+    half-width r'.
+
+    For a 1-D window of taps d in {-r..r}*dilation (r = (k-1)//2 effective
+    taps), S1[t', p, q, t] = 1 iff tap t lands at packed offset t'-r' with
+    source phase p when the output phase is q. The 2-D tensor is the outer
+    product over (H, W) axes; we keep the 1-D builder and combine in
+    pack_kernel.
+    """
+    offs = [dilation * (t - (k - 1) // 2) for t in range(k)]
+    lo = min((q + d) >> 1 for d in offs for q in (0, 1))
+    hi = max((q + d) >> 1 for d in offs for q in (0, 1))
+    rp = max(-lo, hi)
+    kp = 2 * rp + 1
+    s = np.zeros((kp, 2, 2, k), np.float32)
+    for t, d in enumerate(offs):
+        for q in (0, 1):
+            v = q + d
+            s[(v >> 1) + rp, v & 1, q, t] = 1.0
+    return s, rp
+
+
+def pack_kernel(w: jnp.ndarray, dilation: int = 1) -> Tuple[jnp.ndarray, int]:
+    """HWIO (k,k,ci,co) -> packed HWIO (k',k',4ci,4co) + packed pad r'.
+
+    Channel order matches pack(): input (c,pi,pj) -> c*4+pi*2+pj, output
+    (o,qi,qj) -> o*4+qi*2+qj.
+    """
+    kh, kw, ci, co = w.shape
+    sh, rh = _scatter_tensor(kh, dilation)
+    sw, rw = _scatter_tensor(kw, dilation)
+    sh = jnp.asarray(sh, w.dtype)
+    sw = jnp.asarray(sw, w.dtype)
+    # wp[a, b, pi, pj, qi, qj, c, o] = sum_{t,u} sh[a,pi,qi,t] sw[b,pj,qj,u] w[t,u,c,o]
+    wp = jnp.einsum("apqt,bPQu,tuco->abpPqQco", sh, sw, w)
+    kp_h, kp_w = 2 * rh + 1, 2 * rw + 1
+    # -> (a, b, c, pi, pj, o, qi, qj) -> (k',k',4ci,4co)
+    wp = wp.transpose(0, 1, 6, 2, 3, 7, 4, 5).reshape(kp_h, kp_w, 4 * ci, 4 * co)
+    return wp, max(rh, rw)
+
+
+def conv_same_packed(
+    xp: jnp.ndarray, w: jnp.ndarray, dilation: int = 1, groups: int = 1
+) -> jnp.ndarray:
+    """Stride-1 SAME conv on a packed tensor from the ORIGINAL HWIO kernel.
+
+    xp: (B,H',W',4ci); w: (k,k,ci/groups,co) as stored unpacked. groups>1
+    follows lax grouped-conv semantics on the original channels (c-major
+    packed channels keep each group contiguous).
+    """
+    wp, rp = pack_kernel(w, dilation)
+    return jax.lax.conv_general_dilated(
+        xp,
+        wp,
+        (1, 1),
+        [(rp, rp), (rp, rp)],
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=get_precision(),
+    )
+
+
+def channel_reduce_packed(xp: jnp.ndarray, fn) -> jnp.ndarray:
+    """Reduce over ORIGINAL channels of a packed tensor -> (B,H',W',4)."""
+    b, hp, wp, c4 = xp.shape
+    return fn(xp.reshape(b, hp, wp, c4 // 4, 4), -2)
+
+
+def tile_gate_packed(gate: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Broadcast a packed 1-channel gate (B,H',W',4) across C channels."""
+    return jnp.tile(gate, (1, 1, 1, c))
+
+
+def box_filter_packed(xp: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Clamped box SUM of the ORIGINAL (2H',2W') image on a packed tensor.
+
+    The H-axis sum mixes the pi phase, the W-axis sum the pj phase; each is
+    a banded matmul over (phase, halved-axis) pairs, still on the MXU and
+    now with 128 unpadded lanes.
+    """
+    from paif_tpu.ops.guided_filter import _band_matrix  # same band, full res
+
+    b, hp, wp, c4 = xp.shape
+    c = c4 // 4
+    band_h = _band_matrix(2 * hp, r).reshape(hp, 2, hp, 2)  # [i,p,i',p']
+    band_w = _band_matrix(2 * wp, r).reshape(wp, 2, wp, 2)
+    bh = jnp.asarray(band_h, xp.dtype)
+    bw = jnp.asarray(band_w, xp.dtype)
+    x6 = xp.reshape(b, hp, wp, c, 2, 2)  # (B,i,j,c,pi,pj)
+    x6 = jnp.einsum("ipIP,bIjcPq->bijcpq", bh, x6, precision=get_precision())
+    x6 = jnp.einsum("jqJQ,biJcpQ->bijcpq", bw, x6, precision=get_precision())
+    return x6.reshape(b, hp, wp, c4)

@@ -1,0 +1,142 @@
+"""Packed (2x2 space-to-depth) layout: exact equivalence with plain NHWC.
+
+The packed conv computes the same tap sums as the plain conv with a
+scattered kernel, so results must match to f32 summation-order tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paif_tpu.nn.layers import get_precision
+from paif_tpu.ops.guided_filter import box_filter
+from paif_tpu.ops.packed import (
+    box_filter_packed,
+    channel_reduce_packed,
+    conv_same_packed,
+    pack,
+    pack_kernel,
+    tile_gate_packed,
+    unpack,
+)
+
+
+def _conv_same(x, w, dilation=1, groups=1):
+    k = w.shape[0]
+    pad = dilation * (k - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        (1, 1),
+        [(pad, pad), (pad, pad)],
+        rhs_dilation=(dilation, dilation),
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=get_precision(),
+    )
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 5)), jnp.float32)
+    assert jnp.array_equal(unpack(pack(x)), x)
+
+
+def test_pack_concat_commutes():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.normal(size=(1, 6, 6, 3)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(1, 6, 6, 2)), jnp.float32)
+    lhs = pack(jnp.concatenate([a, b], -1))
+    rhs = jnp.concatenate([pack(a), pack(b)], -1)
+    assert jnp.array_equal(lhs, rhs)
+
+
+@pytest.mark.parametrize(
+    "k,dilation,ci,co",
+    [(1, 1, 4, 8), (3, 1, 32, 32), (3, 2, 32, 32), (5, 1, 4, 1), (7, 1, 32, 32), (7, 2, 8, 8)],
+)
+def test_packed_conv_matches_plain(k, dilation, ci, co):
+    rng = np.random.default_rng(k * 10 + dilation)
+    x = jnp.asarray(rng.normal(size=(2, 16, 20, ci)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(k, k, ci, co)) * 0.1, jnp.float32)
+    ref = _conv_same(x, w, dilation)
+    got = unpack(conv_same_packed(pack(x), w, dilation))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k,dilation", [(3, 1), (3, 2), (7, 1)])
+def test_packed_depthwise_matches_plain(k, dilation):
+    rng = np.random.default_rng(42)
+    c = 16
+    x = jnp.asarray(rng.normal(size=(2, 12, 12, c)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(k, k, 1, c)) * 0.1, jnp.float32)
+    ref = _conv_same(x, w, dilation, groups=c)
+    got = unpack(conv_same_packed(pack(x), w, dilation, groups=c))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pack_kernel_extents():
+    # packed spatial extent: k=3 -> 3, k=5 -> 3, k=7 -> 5 (d=1)
+    for k, expect in [(3, 3), (5, 3), (7, 5)]:
+        wp, rp = pack_kernel(jnp.ones((k, k, 1, 1)), 1)
+        assert wp.shape[0] == expect == 2 * rp + 1
+
+
+def test_box_filter_packed_matches_plain():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 16, 20, 8)), jnp.float32)
+    for r in (1, 4):
+        ref = box_filter(x, r)
+        got = unpack(box_filter_packed(pack(x), r))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_channel_reduce_and_tile():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 6)), jnp.float32)
+    xp = pack(x)
+    red = channel_reduce_packed(xp, jnp.max)
+    assert jnp.array_equal(unpack(red), jnp.max(x, -1, keepdims=True))
+    gate = channel_reduce_packed(xp, jnp.mean)
+    tiled = tile_gate_packed(gate, 6)
+    assert jnp.array_equal(unpack(tiled), jnp.broadcast_to(jnp.mean(x, -1, keepdims=True), x.shape))
+
+
+def test_fusion_net_packed_matches_plain(monkeypatch):
+    """Full FusionNetSearched: packed layout == plain layout (f32)."""
+    from paif_tpu.genotype import PAIF_GENOTYPE
+    from paif_tpu.models import FusionNetSearched
+
+    rng = np.random.default_rng(7)
+    ir = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 1)), jnp.float32)
+    vis = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 1)), jnp.float32)
+    model = FusionNetSearched(32, PAIF_GENOTYPE)
+    variables = model.init(jax.random.PRNGKey(0), ir, vis)
+
+    monkeypatch.setenv("PAIF_PACKED", "0")
+    plain = model.apply(variables, ir, vis)
+    monkeypatch.setenv("PAIF_PACKED", "1")
+    packed = model.apply(variables, ir, vis)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(plain), rtol=2e-5, atol=2e-5)
+
+    # gradients (the PGD path) must agree too
+    monkeypatch.setenv("PAIF_PACKED", "0")
+    gp = jax.grad(lambda t: jnp.sum(jnp.square(model.apply(variables, t, vis))))(ir)
+    monkeypatch.setenv("PAIF_PACKED", "1")
+    gq = jax.grad(lambda t: jnp.sum(jnp.square(model.apply(variables, t, vis))))(ir)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gp), rtol=2e-4, atol=2e-5)
+
+
+def test_fusion_net_packed_odd_shape_fallback(monkeypatch):
+    """Odd spatial dims silently fall back to the plain layout."""
+    from paif_tpu.models import FusionNetSearched
+
+    monkeypatch.setenv("PAIF_PACKED", "1")
+    rng = np.random.default_rng(8)
+    ir = jnp.asarray(rng.uniform(0, 1, (1, 31, 33, 1)), jnp.float32)
+    vis = jnp.asarray(rng.uniform(0, 1, (1, 31, 33, 1)), jnp.float32)
+    model = FusionNetSearched(32)
+    variables = model.init(jax.random.PRNGKey(0), ir, vis)
+    out = model.apply(variables, ir, vis)
+    assert out.shape == (1, 31, 33, 1) and bool(jnp.all(jnp.isfinite(out)))
