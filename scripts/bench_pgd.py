@@ -50,7 +50,7 @@ def main():
         return dict(v, params=bf16(v["params"]))
 
     results = []
-    for remat in [True, (0, 1), (0,)]:
+    for remat in [False, (0, 1), True]:
         model = PAIFJoint(
             backbone="mit_b3",
             num_classes=9,
