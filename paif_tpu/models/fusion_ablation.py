@@ -22,7 +22,6 @@ from flax import linen as nn
 from paif_tpu.genotype import Genotype, PAIF_GENOTYPE
 from paif_tpu.nn.cells import CellChain, CrossModalSpatialGate, decompose
 from paif_tpu.nn.layers import Conv, PReLU
-from paif_tpu.nn.ops_registry import SpatialAttnLayer
 from paif_tpu.nn.support import DRDB, SKFF
 from paif_tpu.ops.color import clip01, minmax_normalize
 
@@ -66,49 +65,62 @@ class FusionNetworkSKFF(nn.Module):
 
 
 class TwoStreamFusion(nn.Module):
-    """The aggregation-strategy ablation family: per-modality stems + cell
-    chains, aggregate in {'concat','add','average','max','spa','direct'},
-    refinement chain, 64->32->1 head. 'spa' gates with the single-input
-    spatial attention; 'direct' skips aggregation mixing (ir branch only),
-    matching Fusion_Network_Direct's behavior.
+    """The aggregation-strategy ablation family (model_fusion_auto.py
+    :1191-1444): per-modality stems + cell chains, aggregate in
+    {'concat','add','average','max','spa','direct'}, refinement chain,
+    64->32->1 head, clamp [0,1], whole-tensor min-max.
+
+    Reference fidelity notes:
+      * head: tanh(conv21) for 'concat' (Fusion_Network_auto) and 'direct';
+        PReLU(conv21) for 'average'/'max'/'spa' (set by `aggregate`).
+      * 'spa' mixes with the CROSS-modal gate (spatial_attn_layer_M over the
+        4-channel (max,mean) pools of both streams): scale*ir + (1-scale)*vis.
+      * 'direct' is single-stream: conv1 takes the 2-channel concat
+        (Fusion_Network_Direct :1415-1444) and there is no vis stem/chain.
+      * 'add' (Fusion_Network_Add :1232) is dead upstream — it instantiates
+        an undefined Cell_Chain2; our 'add' runs the live Cell_Chain. See
+        PARITY.md deliberate omissions.
     """
 
     aggregate: str = "concat"
     features: int = 64
     chain_ops: Tuple[str, ...] = ("Denseblocks_3_1", "Denseblocks_3_1")
-    tanh_head: bool = True
 
     @nn.compact
     def __call__(self, ir, vis, train: bool = False):
         c = self.features
         prelu = PReLU(name="act")
-        fir = prelu(Conv(c, 3, use_bias=True, name="conv1")(ir[..., 0:1]))
-        fvis = prelu(Conv(c, 3, use_bias=True, name="conv12")(vis[..., 0:1]))
-        fir = CellChain(c, self.chain_ops, name="chain_ir")(fir, train)
-        fvis = CellChain(c, self.chain_ops, name="chain_vis")(fvis, train)
-
-        if self.aggregate == "concat":
-            agg = Conv(c, 3, use_bias=True, name="conv_concat")(
-                jnp.concatenate([fir, fvis], axis=-1)
-            )
-        elif self.aggregate == "add":
-            agg = fir + fvis
-        elif self.aggregate == "average":
-            agg = (fir + fvis) / 2.0
-        elif self.aggregate == "max":
-            agg = jnp.maximum(fir, fvis)
-        elif self.aggregate == "spa":
-            gate = SpatialAttnLayer(name="spa")(jnp.concatenate([fir, fvis], -1), train)
-            agg = Conv(c, 1, use_bias=True, name="conv_spa")(gate)
-        elif self.aggregate == "direct":
-            agg = fir
+        if self.aggregate == "direct":
+            x = jnp.concatenate([ir[..., 0:1], vis[..., 0:1]], axis=-1)
+            fir = prelu(Conv(c, 3, use_bias=True, name="conv1")(x))
+            agg = CellChain(c, self.chain_ops, name="chain_ir")(fir, train)
         else:
-            raise ValueError(self.aggregate)
+            fir = prelu(Conv(c, 3, use_bias=True, name="conv1")(ir[..., 0:1]))
+            fvis = prelu(Conv(c, 3, use_bias=True, name="conv12")(vis[..., 0:1]))
+            fir = CellChain(c, self.chain_ops, name="chain_ir")(fir, train)
+            fvis = CellChain(c, self.chain_ops, name="chain_vis")(fvis, train)
+
+            if self.aggregate == "concat":
+                agg = Conv(c, 3, use_bias=True, name="conv_concat")(
+                    jnp.concatenate([fir, fvis], axis=-1)
+                )
+            elif self.aggregate == "add":
+                agg = fir + fvis
+            elif self.aggregate == "average":
+                agg = (fir + fvis) / 2.0
+            elif self.aggregate == "max":
+                agg = jnp.maximum(fir, fvis)
+            elif self.aggregate == "spa":
+                scale = CrossModalSpatialGate(name="spa")(fir, fvis, train)
+                agg = scale * fir + (1.0 - scale) * fvis
+            else:
+                raise ValueError(self.aggregate)
 
         agg = CellChain(c, self.chain_ops, name="chain_agg")(agg, train)
         f = prelu(Conv(c // 2, 3, use_bias=True, name="conv2")(agg))
         f = Conv(1, 3, use_bias=True, name="conv21")(f)
-        f = jnp.tanh(f) if self.tanh_head else prelu(f)
+        tanh_head = self.aggregate in ("concat", "add", "direct")
+        f = jnp.tanh(f) if tanh_head else prelu(f)
         return _clip_minmax(f)
 
 
