@@ -31,7 +31,7 @@ from paif_tpu.nn.ops_registry import parse_op_string
 
 log = logging.getLogger(__name__)
 
-CONV, DENSE, CONV1D, RAW = "conv", "dense", "conv1d", "raw"
+CONV, DENSE, CONV1D, DECONV, RAW = "conv", "dense", "conv1d", "deconv", "raw"
 
 
 @dataclass(frozen=True)
@@ -49,6 +49,10 @@ def _transform(kind: str, w: np.ndarray) -> np.ndarray:
         return np.transpose(w, (1, 0))
     if kind == CONV1D:
         return np.transpose(w, (2, 1, 0))
+    if kind == DECONV:
+        # ConvTranspose2d weight (in, out, kh, kw) -> lhs-dilated-conv HWIO
+        # with spatially flipped taps (see nn.support.ConvTranspose2dTorch)
+        return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()
     return w
 
 

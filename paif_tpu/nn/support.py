@@ -85,6 +85,41 @@ class DownSample(nn.Module):
         return x
 
 
+class ConvTranspose2dTorch(nn.Module):
+    """torch ConvTranspose2d(k3, s2, p1, output_padding=1) exact semantics:
+    lhs-dilated conv with pad (k-1-p, k-1-p+op) and spatially flipped taps.
+    Kernel stored HWIO pre-flipped (torch_import kind=DECONV maps weights).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p, op = self.kernel_size, self.stride, self.padding, self.output_padding
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features),
+            jnp.float32,
+        ).astype(x.dtype)
+        lo, hi = k - 1 - p, k - 1 - p + op
+        import jax
+
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            (1, 1),
+            [(lo, hi), (lo, hi)],
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=get_precision(),
+        )
+
+
 class ResidualUpSample(nn.Module):
     """operations_m.py:244-262: transposed-conv + bilinear two-path 2x upsample."""
 
@@ -93,12 +128,7 @@ class ResidualUpSample(nn.Module):
         c = x.shape[-1]
         top = Conv(c, 1, name="top_conv1")(x)
         top = PReLU(name="top_act1")(top)
-        top = nn.ConvTranspose(
-            c, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)], use_bias=False,
-            precision=get_precision(), name="top_deconv",
-        )(top)
-        # torch ConvTranspose2d(k3,s2,p1,output_pad 1) yields exactly 2x size
-        top = top[:, : x.shape[1] * 2, : x.shape[2] * 2, :]
+        top = ConvTranspose2dTorch(c, name="top_deconv")(top)
         top = PReLU(name="top_act2")(top)
         top = Conv(c // 2, 1, name="top_conv_out")(top)
         bot = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2), align_corners=False)
