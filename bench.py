@@ -27,7 +27,10 @@ import numpy as np
 BASELINE_PAIRS_PER_SEC = 0.0736
 
 BATCH = 16  # measured knee of the throughput curve on v5e (B8 ~22, B16 ~39, B32 ~40 pairs/s)
-ATTACK_BATCH = 8  # PGD fwd+bwd memory bound
+# With the packed fusion layout the PGD fwd+bwd fits HBM at batch 16 with NO
+# encoder remat (scripts/bench_pgd.py sweep: False/b16 5.36 > (0,1)/b16 5.31
+# > True/b16 5.14 attacked pairs/s); remat stays available for bigger batches.
+ATTACK_BATCH = 16
 INIT_HW = (64, 64)  # param shapes are resolution-independent; init small, run big
 H, W = 480, 640
 STEPS = 5
@@ -136,7 +139,11 @@ def main():
             backbone="mit_b3",
             num_classes=9,
             fusion=lambda: FusionNetSearched(32, PAIF_GENOTYPE),
-            remat=True,  # per-block remat: PGD bwd does not fit HBM otherwise
+            # Selective remat of encoder stages 0-1: their 19200/4800-token
+            # activations are the HBM bulk but a small fraction of FLOPs.
+            # remat=False fit at batch 16 with the einsum box filter but
+            # misses by ~84 MB with the Pallas box kernel in the backward.
+            remat=(0, 1),
         )
         atk = make_attack_both(
             lambda v, i, s: model_r.apply(v, i, s), AttackConfig(iters=5)

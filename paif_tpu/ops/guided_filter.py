@@ -49,11 +49,15 @@ def _band_matrix(n: int, r: int) -> np.ndarray:
 
 def _box_1d(x: jnp.ndarray, r: int, axis: int) -> jnp.ndarray:
     """1-D box sum (window 2r+1, clamped at borders) along H or W via the
-    banded matrix on the MXU."""
+    banded matrix on the MXU. Precision matters: without it the TPU f32
+    path runs these einsums as single-pass bf16 (measured 9e-2 abs error on
+    window sums), silently breaking the f32 parity contract."""
+    from paif_tpu.nn.layers import get_precision
+
     m = jnp.asarray(_band_matrix(x.shape[axis], r), x.dtype)
     if axis == 1:
-        return jnp.einsum("ih,bhwc->biwc", m, x)
-    return jnp.einsum("jw,bhwc->bhjc", m, x)
+        return jnp.einsum("ih,bhwc->biwc", m, x, precision=get_precision())
+    return jnp.einsum("jw,bhwc->bhjc", m, x, precision=get_precision())
 
 
 def box_filter(x: jnp.ndarray, r: int) -> jnp.ndarray:

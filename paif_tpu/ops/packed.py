@@ -116,8 +116,8 @@ def _scatter_tensor(k: int, dilation: int) -> Tuple[np.ndarray, int]:
     return s, rp
 
 
-def pack_kernel(w: jnp.ndarray, dilation: int = 1) -> Tuple[jnp.ndarray, int]:
-    """HWIO (k,k,ci,co) -> packed HWIO (k',k',4ci,4co) + packed pad r'.
+def pack_kernel(w: jnp.ndarray, dilation: int = 1) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """HWIO (kh,kw,ci,co) -> packed HWIO (kh',kw',4ci,4co) + per-axis pads.
 
     Channel order matches pack(): input (c,pi,pj) -> c*4+pi*2+pj, output
     (o,qi,qj) -> o*4+qi*2+qj.
@@ -132,7 +132,7 @@ def pack_kernel(w: jnp.ndarray, dilation: int = 1) -> Tuple[jnp.ndarray, int]:
     kp_h, kp_w = 2 * rh + 1, 2 * rw + 1
     # -> (a, b, c, pi, pj, o, qi, qj) -> (k',k',4ci,4co)
     wp = wp.transpose(0, 1, 6, 2, 3, 7, 4, 5).reshape(kp_h, kp_w, 4 * ci, 4 * co)
-    return wp, max(rh, rw)
+    return wp, (rh, rw)
 
 
 def conv_same_packed(
@@ -140,16 +140,16 @@ def conv_same_packed(
 ) -> jnp.ndarray:
     """Stride-1 SAME conv on a packed tensor from the ORIGINAL HWIO kernel.
 
-    xp: (B,H',W',4ci); w: (k,k,ci/groups,co) as stored unpacked. groups>1
+    xp: (B,H',W',4ci); w: (kh,kw,ci/groups,co) as stored unpacked. groups>1
     follows lax grouped-conv semantics on the original channels (c-major
     packed channels keep each group contiguous).
     """
-    wp, rp = pack_kernel(w, dilation)
+    wp, (rh, rw) = pack_kernel(w, dilation)
     return jax.lax.conv_general_dilated(
         xp,
         wp,
         (1, 1),
-        [(rp, rp), (rp, rp)],
+        [(rh, rh), (rw, rw)],
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=get_precision(),
@@ -170,10 +170,19 @@ def tile_gate_packed(gate: jnp.ndarray, c: int) -> jnp.ndarray:
 def box_filter_packed(xp: jnp.ndarray, r: int) -> jnp.ndarray:
     """Clamped box SUM of the ORIGINAL (2H',2W') image on a packed tensor.
 
-    The H-axis sum mixes the pi phase, the W-axis sum the pj phase; each is
-    a banded matmul over (phase, halved-axis) pairs, still on the MXU and
-    now with 128 unpadded lanes.
+    TPU r=4 full-width tensors route to the Pallas VPU kernel
+    (ops/pallas/box_filter.py — ~BW-bound, vs >=8.6 ms/call for every exact
+    XLA formulation at (16,240,320,128)); everything else uses phase-mixing
+    banded matmuls on the MXU with 128 unpadded lanes.
     """
+    from paif_tpu.ops.pallas.box_filter import (
+        box_filter_packed_pallas,
+        pallas_box_applicable,
+    )
+
+    if pallas_box_applicable(xp.shape, r):
+        return box_filter_packed_pallas(xp)
+
     from paif_tpu.ops.guided_filter import _band_matrix  # same band, full res
 
     b, hp, wp, c4 = xp.shape

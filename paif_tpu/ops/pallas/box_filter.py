@@ -1,0 +1,178 @@
+"""Pallas TPU kernel: clamped box SUM (radius 4) on the packed 2x2 layout.
+
+Why: the guided filter's box sums are the fusion branch's top cost. Every
+exact XLA formulation measured on v5e at (16,240,320,128) bf16
+(scripts/bench_boxfilter_packed.py):
+    band-matmul einsum 10.3 ms | separable packed conv 8.6 ms |
+    depthwise packed conv 27 ms | in-layout shift-add 16 ms |
+    unpack/shift/pack 43 ms
+All matmul forms burn >=14x dead MXU FLOPs (contraction >=128 for 9 useful
+taps); all shift-add forms lower to unfused one-slice-per-pass loops. The
+data itself is only 2x(157 MB read + 157 MB write) = ~0.8 ms of HBM traffic:
+this kernel gets there by keeping each (H- or W-) pass inside VMEM.
+
+Design:
+  * Two separable passes. The H-pass grids over (batch, W-tiles) so the full
+    H' extent sits in VMEM and row shifts are internal; the W-pass grids
+    over (batch, H-tiles) likewise. No cross-program halo.
+  * Packed phases: original H index = 2*i + pi with pi*2+pj the low bits of
+    the lane (channel = c*4 + pi*2 + pj). The 9-tap window decomposes into
+    block shifts d in [-2,2]: d in {-1,0,1} feed BOTH phases; d=-2 misses
+    (P=1 <- p=0); d=+2 misses (P=0 <- p=1). Phase sums are masked XOR lane
+    rolls (XOR 2 for pi in the H-pass, XOR 1 for pj in the W-pass) — pure
+    VPU, zero MXU FLOPs.
+  * f32 VMEM scratch with zeroed 2-row halos; shifted reads slice the
+    scratch ref (f32 — bf16 sublane-offset slices miscompile, see
+    small_conv.py notes).
+  * VJP: the clamped box operator is symmetric (band matrix B = B^T, and
+    (Bh ∘ Bw)^T = Bw ∘ Bh = same op), so the backward pass IS the kernel.
+
+Radius is fixed at 4 (the reference's Cell_Decom radiux — model_fusion_auto
+.py:500); other radii fall back to the matmul path in ops/packed.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+R = 4  # window 9 on the original grid; block shifts -2..2 on the packed grid
+
+
+def pallas_box_enabled() -> bool:
+    """On by default on TPU; PAIF_PALLAS_BOX=0 reverts to the matmul path."""
+    env = os.environ.get("PAIF_PALLAS_BOX")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() == "tpu"
+
+
+def _xor_roll(v: jnp.ndarray, xor_bit: int) -> jnp.ndarray:
+    """v[..., l] -> v[..., l XOR xor_bit] along the minor (lane) axis.
+
+    pltpu.roll is circular with non-negative shifts; the wrapped lanes are
+    never selected (a lane with the low phase bit clear is never within
+    xor_bit of the top, and vice versa), so two masked rolls compose the
+    XOR permutation exactly.
+    """
+    n = v.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    low = (lane & xor_bit) == 0
+    fwd = pltpu.roll(v, n - xor_bit, axis=v.ndim - 1)  # out[l] = v[l + xor_bit]
+    bwd = pltpu.roll(v, xor_bit, axis=v.ndim - 1)  # out[l] = v[l - xor_bit]
+    return jnp.where(low, fwd, bwd)
+
+
+def _combine(mid, lo, hi, xor_bit):
+    """Tap/phase combination shared by both passes (see module docstring).
+
+    out = mid + lo + hi + xor(mid) + [low? xor(lo) : xor(hi)]. The masked
+    tail folds into ONE xor: with u = where(low, hi, lo) at SOURCE lanes,
+    xor(u)[l] = low(l) ? lo[l^b] : hi[l^b] (the phase mask complements
+    under xor) — so a single where + one xor replaces two of each.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, mid.shape, mid.ndim - 1)
+    low_phase = (lane & xor_bit) == 0
+    u = mid + jnp.where(low_phase, hi, lo)
+    return mid + lo + hi + _xor_roll(u, xor_bit)
+
+
+def _pass_kernel(x_ref, o_ref, s_ref, *, axis: int, xor_bit: int):
+    """One separable box pass over the full `axis` extent of the block.
+
+    x_ref/o_ref: (1, A, B, C4) with the pass axis at position `axis` (1 or
+    2); s_ref: f32 scratch with 2 halo rows on each side of that axis.
+    """
+    n = x_ref.shape[axis]
+
+    def _idx(start, stop):
+        idx = [slice(None)] * 3
+        idx[axis - 1] = slice(start, stop)
+        return tuple(idx)
+
+    def sl(ref, start, stop):
+        return ref[_idx(start, stop)]
+
+    # zero halos, then the body
+    z2 = list(s_ref.shape)
+    z2[axis - 1] = 2
+    zeros = jnp.zeros(z2, jnp.float32)
+    s_ref[_idx(0, 2)] = zeros
+    s_ref[_idx(n + 2, n + 4)] = zeros
+    s_ref[_idx(2, n + 2)] = x_ref[0].astype(jnp.float32)
+
+    mid = sl(s_ref, 1, n + 1) + sl(s_ref, 2, n + 2) + sl(s_ref, 3, n + 3)
+    o_ref[0] = _combine(mid, sl(s_ref, 0, n), sl(s_ref, 4, n + 4), xor_bit).astype(o_ref.dtype)
+
+
+def _pick_tile(total: int, bytes_per_col: int, budget: int = 1024 * 1024) -> int:
+    """Largest divisor of `total` whose f32 column-slab stays under budget.
+
+    The budget is per VALUE, not per kernel: besides the scratch, Mosaic
+    keeps ~6 live f32 temporaries of the same shape (mid/lo/hi + rolls +
+    accumulator), so ~8x this budget of VMEM is actually in play; 1 MB
+    keeps the program near 8 MB of the ~16 MB VMEM.
+    """
+    for t in range(total, 0, -1):
+        if total % t == 0 and t * bytes_per_col <= budget:
+            return t
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def box_filter_packed_pallas(xp: jnp.ndarray) -> jnp.ndarray:
+    return _box_fwd_impl(xp)
+
+
+def _box_fwd_impl(xp: jnp.ndarray) -> jnp.ndarray:
+    b, hp, wp, c4 = xp.shape
+    # H-pass: full H' per block, tiles over W'. The W-tiles make each block
+    # a strided DMA, but the kernel is VPU-bound, not DMA-bound (a 3x-read
+    # contiguous-halo variant measured 7.99 vs 6.69 ms — see git history).
+    tw = _pick_tile(wp, (hp + 4) * c4 * 4)
+    y = pl.pallas_call(
+        functools.partial(_pass_kernel, axis=1, xor_bit=2),
+        grid=(b, wp // tw),
+        in_specs=[pl.BlockSpec((1, hp, tw, c4), lambda i, j: (i, 0, j, 0))],
+        out_specs=pl.BlockSpec((1, hp, tw, c4), lambda i, j: (i, 0, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+        scratch_shapes=[pltpu.VMEM((hp + 4, tw, c4), jnp.float32)],
+    )(xp)
+    # W-pass: full W' per block (already contiguous), tiles over H'.
+    th2 = _pick_tile(hp, (wp + 4) * c4 * 4)
+    return pl.pallas_call(
+        functools.partial(_pass_kernel, axis=2, xor_bit=1),
+        grid=(b, hp // th2),
+        in_specs=[pl.BlockSpec((1, th2, wp, c4), lambda i, j: (i, j, 0, 0))],
+        out_specs=pl.BlockSpec((1, th2, wp, c4), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+        scratch_shapes=[pltpu.VMEM((th2, wp + 4, c4), jnp.float32)],
+    )(y)
+
+
+def _box_fwd(xp):
+    return _box_fwd_impl(xp), None
+
+
+def _box_bwd(_res, g):
+    # The operator is symmetric: B^T = B per axis, (Bh∘Bw)^T = Bw∘Bh = Bh∘Bw.
+    return (_box_fwd_impl(g),)
+
+
+box_filter_packed_pallas.defvjp(_box_fwd, _box_bwd)
+
+
+def pallas_box_applicable(xp_shape, r: int) -> bool:
+    b, hp, wp, c4 = xp_shape
+    return (
+        r == R
+        and c4 % 128 == 0
+        and hp > 2 * R
+        and wp > 2 * R
+        and pallas_box_enabled()
+    )

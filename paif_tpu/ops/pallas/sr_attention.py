@@ -24,11 +24,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def pallas_attention_enabled() -> bool:
-    """Kernel on by default on TPU; override with PAIF_PALLAS_ATTN=0/1."""
+    """Opt-in via PAIF_PALLAS_ATTN=1. Default OFF: at mit_b3 480x640
+    batch-16 shapes the fused kernel measured 96 vs 79 ms for the whole
+    encoder against XLA's einsum path (scripts/profile_components.py,
+    round 2) — XLA's fusion already keeps the (N,300) score tiles local.
+    The kernel remains correct and may win at longer K/V; re-measure
+    before flipping the default."""
     env = os.environ.get("PAIF_PALLAS_ATTN")
     if env is not None:
         return env not in ("0", "false", "False")
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def _round_up(x: int, m: int) -> int:

@@ -83,3 +83,42 @@ def test_seg_losses_parity(rng):
     assert abs(float(ohem_ce_loss(jl, jlab, 0.7, 40)) - want_ohem) < 1e-5
     # high threshold (-log(.05) large) -> top-n_min branch
     assert abs(float(ohem_ce_loss(jl, jlab, 0.05, 40)) - want_ohem_hi) < 1e-5
+
+
+def test_fusion_loss_variants_parity(imgs):
+    """VERDICT r1 partial #31: new_loss_sobel / Fusionloss2/3 /
+    Total_fusion_loss{,2,3} / IQALoss value parity (incl. the reference's
+    scalar-rebinding quirk in new_loss_sobel)."""
+    from core import loss as ref
+
+    from paif_tpu.losses import (
+        fusion_loss2,
+        fusion_loss3,
+        iqa_loss,
+        new_loss_sobel,
+        total_fusion_loss,
+        total_fusion_loss2,
+        total_fusion_loss3,
+    )
+
+    ir, vis, gen, mask = imgs
+
+    with torch.no_grad():
+        cases = [
+            (new_loss_sobel(j(ir), j(vis), j(mask), j(gen)),
+             ref.new_loss_sobel()(t(ir), t(vis), t(mask), t(gen))),
+            (fusion_loss2(j(ir), j(vis), j(gen), j(mask)),
+             ref.Fusionloss2()(t(ir), t(vis), t(gen), t(mask))),
+            (fusion_loss3(j(ir), j(vis), j(gen), j(mask)),
+             ref.Fusionloss3()(t(ir), t(vis), t(gen), t(mask))),
+            (total_fusion_loss(j(ir), j(vis), j(mask), j(gen)),
+             ref.Total_fusion_loss()(t(ir), t(vis), t(mask), t(gen))),
+            (total_fusion_loss2(j(ir), j(vis), j(mask), j(gen)),
+             ref.Total_fusion_loss2()(t(ir), t(vis), t(mask), t(gen))),
+            (total_fusion_loss3(j(ir), j(vis), j(mask), j(gen)),
+             ref.Total_fusion_loss3()(t(ir), t(vis), t(mask), t(gen))),
+            (iqa_loss(j(ir), j(vis), j(mask)),
+             ref.IQALoss()(t(ir), t(vis), t(mask))),
+        ]
+    for i, (got, want) in enumerate(cases):
+        assert abs(float(got) - float(want)) < 5e-5, f"case {i}: {float(got)} vs {float(want)}"

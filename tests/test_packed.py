@@ -79,8 +79,26 @@ def test_packed_depthwise_matches_plain(k, dilation):
 def test_pack_kernel_extents():
     # packed spatial extent: k=3 -> 3, k=5 -> 3, k=7 -> 5 (d=1)
     for k, expect in [(3, 3), (5, 3), (7, 5)]:
-        wp, rp = pack_kernel(jnp.ones((k, k, 1, 1)), 1)
-        assert wp.shape[0] == expect == 2 * rp + 1
+        wp, (rh, rw) = pack_kernel(jnp.ones((k, k, 1, 1)), 1)
+        assert wp.shape[0] == expect == 2 * rh + 1
+    # non-square kernels pad per axis: (9,1) -> (5,1), pads (2,0)
+    wp, (rh, rw) = pack_kernel(jnp.ones((9, 1, 1, 1)), 1)
+    assert wp.shape[:2] == (5, 1) and (rh, rw) == (2, 0)
+
+
+def test_packed_conv_non_square():
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(1, 12, 16, 8)), jnp.float32)
+    for shape in [(9, 1), (1, 9), (3, 5)]:
+        w = jnp.asarray(rng.normal(size=(*shape, 8, 4)) * 0.1, jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1),
+            [((shape[0] - 1) // 2,) * 2, ((shape[1] - 1) // 2,) * 2],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=get_precision(),
+        )
+        got = unpack(conv_same_packed(pack(x), w))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
 def test_box_filter_packed_matches_plain():
