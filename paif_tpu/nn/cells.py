@@ -61,26 +61,16 @@ def decompose(x: jnp.ndarray, radius: int = 4, eps_list: Tuple[float, ...] = (1e
     The guide is the channel residue; each eps produces one (LF, x-LF) pair,
     concatenated along channels (model_fusion_auto.py:522-535).
 
-    Rematerialized (jax.checkpoint): the filter's intermediates are ~10
-    feature-sized tensors per modality; the Pallas box kernel is a
-    custom-vjp barrier XLA cannot recompute across, so without remat they
-    are all saved for the backward — measured +3.4 GB HBM in the batch-8
-    PGD step. Recomputing the box sums in the backward is cheap (~3 ms
-    each) and exact.
+    Memory under differentiation is handled by the guided filter's analytic
+    custom VJP (ops/guided_filter.py): backward = 6 box sums, residuals =
+    the window moments only.
     """
-
-    import jax
-
-    @jax.checkpoint
-    def _split(t):
-        guide = residue(t)
-        # One fused call: the window moments are eps-independent, so the
-        # two-eps split shares them (6 C-channel box passes instead of 8).
-        lfs = guided_filter_multi_eps(guide, t, radius, eps_list)
-        hfs = [t - lf for lf in lfs]
-        return jnp.concatenate(lfs, axis=-1), jnp.concatenate(hfs, axis=-1)
-
-    return _split(x)
+    guide = residue(x)
+    # One fused call: the window moments are eps-independent, so the two-eps
+    # split shares them (6 C-channel box passes instead of 8).
+    lfs = guided_filter_multi_eps(guide, x, radius, eps_list)
+    hfs = [x - lf for lf in lfs]
+    return jnp.concatenate(lfs, axis=-1), jnp.concatenate(hfs, axis=-1)
 
 
 class CellDecom(nn.Module):

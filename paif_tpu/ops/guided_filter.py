@@ -33,9 +33,10 @@ TPU design notes (round-2 final, after an A/B both ways on the real chip):
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,24 +91,56 @@ def guided_filter_multi_eps(
     Packed-layout aware (ops/packed.py): when the fusion branch runs 2x2
     space-to-depth, guide is (B,H',W',4) and src (B,H',W',4C); broadcasts
     become explicit per-phase tiles and the box sums run as phase-mixing
-    banded matmuls with 128 unpadded lanes.
-    """
-    from paif_tpu.ops.packed import box_filter_packed, is_packed, tile_gate_packed
+    banded matmuls with 128 unpadded lanes (Pallas VPU kernel at r=4
+    full-width shapes).
 
-    packed = is_packed()
-    bf = box_filter_packed if packed else box_filter
-    _, h, w, _ = guide.shape
+    Differentiation goes through an analytic custom VJP: the backward costs
+    exactly 6 src-width box sums (same as the forward) and saves only the
+    window moments — autodiff through the Pallas box's custom-vjp barrier
+    would instead save every intermediate (+3.4 GB HBM in the batch-8 PGD
+    step), and jax.checkpoint would recompute the whole forward.
+    """
+    from paif_tpu.ops.packed import is_packed
+
+    return list(_gf_vjp(is_packed(), r, tuple(eps_list), guide, src))
+
+
+def _helpers(packed: bool, src_width: int, guide_width: int, allow_pallas: bool = True):
+    """(bf, widen, unwiden) for one layout/shape combo.
+
+    allow_pallas=False forces the einsum box (used by the differentiated
+    path: the Pallas custom call is a fusion barrier, and inside the PGD
+    fwd+bwd graph the MXU einsum form measures faster end to end).
+    """
+    from paif_tpu.ops.packed import box_filter_packed, tile_gate_packed
+
     if packed:
-        n = bf(jnp.ones((1, h, w, 4), jnp.float32), r)
+        bf = lambda x, r: box_filter_packed(x, r, allow_pallas=allow_pallas)  # noqa: E731
     else:
-        n = bf(jnp.ones((1, h, w, 1), jnp.float32), r)
-    inv_n = 1.0 / n
-    c = src.shape[-1] // 4 if packed else src.shape[-1]
+        bf = box_filter
+    c = src_width // 4 if packed else src_width
 
     def widen(t):
         """Broadcast a guide-width tensor across src channels."""
-        return tile_gate_packed(t, c) if packed and t.shape[-1] * c == src.shape[-1] else t
+        return tile_gate_packed(t, c) if packed and t.shape[-1] * c == src_width else t
 
+    def unwiden(t):
+        """Adjoint of widen: reduce a src-width cotangent to guide width."""
+        if t.shape[-1] == guide_width:
+            return t
+        if packed:
+            return t.reshape(*t.shape[:-1], c, 4).sum(-2)
+        return t.sum(-1, keepdims=True)
+
+    return bf, widen, unwiden
+
+
+def _gf_forward(packed, r, eps_list, guide, src, allow_pallas=True):
+    """Returns (outs tuple, residuals) — the shared-moment forward."""
+    bf, widen, _ = _helpers(packed, src.shape[-1], guide.shape[-1], allow_pallas)
+    _, h, w, _ = guide.shape
+    n = bf(jnp.ones((1, h, w, 4 if packed else 1), jnp.float32), r)
+    inv_n = 1.0 / n
     inv_n_x = widen(inv_n).astype(src.dtype)
     # 1-channel (or guide-width) moments in f32: var_g = E[g^2]-E[g]^2 is a
     # cancellation; f32 here is ~free and keeps the eps=1e-4 branch accurate.
@@ -119,13 +152,87 @@ def guided_filter_multi_eps(
     mean_s = bf(src, r) * inv_n_x
     cov_gs = bf(guide_w * src, r) * inv_n_x - mean_g * mean_s
     outs = []
+    mean_as = []
     for eps in eps_list:
         a = cov_gs * widen((1.0 / (var_g32 + eps)).astype(src.dtype))
         b_ = mean_s - a * mean_g
         mean_a = bf(a, r) * inv_n_x
         mean_b = bf(b_, r) * inv_n_x
+        mean_as.append(mean_a)
         outs.append(mean_a * guide_w + mean_b)
-    return outs
+    res = (guide, src, mean_g32, var_g32, mean_s, cov_gs, tuple(mean_as))
+    return tuple(outs), res
+
+
+def _gf_backward(packed, r, eps_list, res, cots):
+    """Analytic VJP: 6 src-width box sums + 2 guide-width, zero recompute.
+
+    Einsum boxes throughout: inside the big differentiated graph the MXU
+    form fuses with the surrounding elementwise chains; the Pallas kernel
+    does not.
+    """
+    guide, src, mean_g32, var_g32, mean_s, cov_gs, mean_as = res
+    bf, widen, unwiden = _helpers(packed, src.shape[-1], guide.shape[-1], allow_pallas=False)
+    _, h, w, _ = guide.shape
+    dt = src.dtype
+    n = bf(jnp.ones((1, h, w, 4 if packed else 1), jnp.float32), r)
+    inv_n = 1.0 / n
+    inv_n_x = widen(inv_n).astype(dt)
+    mean_g = widen(mean_g32.astype(dt))
+    guide_w = widen(guide)
+
+    d_gw = jnp.zeros_like(guide_w)
+    d_ms = jnp.zeros_like(mean_s)
+    d_mgx = jnp.zeros_like(mean_g)
+    d_cov = jnp.zeros_like(cov_gs)
+    d_var = jnp.zeros_like(var_g32)
+    for eps, ybar, mean_a in zip(eps_list, cots, mean_as):
+        k = widen((1.0 / (var_g32 + eps)).astype(dt))
+        a = cov_gs * k
+        d_gw = d_gw + ybar * mean_a
+        d_a = bf(ybar * guide_w * inv_n_x, r)  # through mean_a = bf(a)*inv_n
+        d_b = bf(ybar * inv_n_x, r)  # through mean_b = bf(b)*inv_n
+        # b = mean_s - a*mean_g
+        d_ms = d_ms + d_b
+        d_a = d_a - d_b * mean_g
+        d_mgx = d_mgx - d_b * a
+        # a = cov * k
+        d_cov = d_cov + d_a * k
+        d_var = d_var - unwiden((d_a * cov_gs * k * k).astype(jnp.float32))
+    # cov = bf(gw*src)*inv_n - mean_g*mean_s
+    d_t = bf(d_cov * inv_n_x, r)
+    d_gw = d_gw + d_t * src
+    d_src = d_t * guide_w
+    d_mgx = d_mgx - d_cov * mean_s
+    d_ms = d_ms - d_cov * mean_g
+    # mean_s = bf(src)*inv_n
+    d_src = d_src + bf(d_ms * inv_n_x, r)
+    # mean_g (widened, dt) <- mean_g32 (f32)
+    d_m32 = unwiden(d_mgx.astype(jnp.float32))
+    # var = bf(g32^2)*inv_n - mean_g32^2
+    d_m32 = d_m32 - 2.0 * mean_g32 * d_var
+    g32 = guide.astype(jnp.float32)
+    d_g32 = 2.0 * g32 * bf(d_var * inv_n, r) + bf(d_m32 * inv_n, r)
+    # guide enters via g32 and guide_w
+    d_guide = d_g32.astype(guide.dtype) + unwiden(d_gw)
+    return d_guide, d_src
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _gf_vjp(packed, r, eps_list, guide, src):
+    # The packed flag is a STATIC argument captured at forward-trace time:
+    # the layout context manager has already exited when JAX traces the
+    # backward, so the bwd must not consult the global flag.
+    return _gf_forward(packed, r, eps_list, guide, src)[0]
+
+
+def _gf_fwd(packed, r, eps_list, guide, src):
+    # Only reached when the filter is being differentiated: use the einsum
+    # boxes so XLA can fuse the fwd into the surrounding gradient graph.
+    return _gf_forward(packed, r, eps_list, guide, src, allow_pallas=False)
+
+
+_gf_vjp.defvjp(_gf_fwd, _gf_backward)
 
 
 def guided_filter(guide: jnp.ndarray, src: jnp.ndarray, r: int, eps: float) -> jnp.ndarray:

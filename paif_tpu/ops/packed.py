@@ -167,20 +167,23 @@ def tile_gate_packed(gate: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.tile(gate, (1, 1, 1, c))
 
 
-def box_filter_packed(xp: jnp.ndarray, r: int) -> jnp.ndarray:
+def box_filter_packed(xp: jnp.ndarray, r: int, allow_pallas: bool = True) -> jnp.ndarray:
     """Clamped box SUM of the ORIGINAL (2H',2W') image on a packed tensor.
 
     TPU r=4 full-width tensors route to the Pallas VPU kernel
-    (ops/pallas/box_filter.py — ~BW-bound, vs >=8.6 ms/call for every exact
-    XLA formulation at (16,240,320,128)); everything else uses phase-mixing
-    banded matmuls on the MXU with 128 unpadded lanes.
+    (ops/pallas/box_filter.py — 6.5 ms/call vs >=8.6 ms for every exact XLA
+    formulation at (16,240,320,128)); everything else uses phase-mixing
+    banded matmuls on the MXU with 128 unpadded lanes. Callers that sit
+    inside a larger differentiated graph pass allow_pallas=False: the
+    Pallas custom call is a fusion barrier, and the einsum form wins there
+    (guided filter backward: 5.36 vs 5.0 attacked pairs/s end to end).
     """
     from paif_tpu.ops.pallas.box_filter import (
         box_filter_packed_pallas,
         pallas_box_applicable,
     )
 
-    if pallas_box_applicable(xp.shape, r):
+    if allow_pallas and pallas_box_applicable(xp.shape, r):
         return box_filter_packed_pallas(xp)
 
     from paif_tpu.ops.guided_filter import _band_matrix  # same band, full res

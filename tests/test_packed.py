@@ -158,3 +158,38 @@ def test_fusion_net_packed_odd_shape_fallback(monkeypatch):
     variables = model.init(jax.random.PRNGKey(0), ir, vis)
     out = model.apply(variables, ir, vis)
     assert out.shape == (1, 31, 33, 1) and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_guided_filter_analytic_vjp(monkeypatch):
+    """The guided filter's analytic custom VJP == autodiff of the raw
+    forward, in both layouts (guards the 6-box backward derivation)."""
+    from paif_tpu.ops.guided_filter import _gf_forward, guided_filter_multi_eps
+    from paif_tpu.ops.packed import packed_mode
+
+    rng = np.random.default_rng(11)
+    eps_list = (1e-3, 1e-4)
+    for packed in (False, True):
+        if packed:
+            guide = jnp.asarray(rng.uniform(0, 1, (2, 10, 12, 4)), jnp.float32)
+            src = jnp.asarray(rng.uniform(0, 1, (2, 10, 12, 4 * 6)), jnp.float32)
+        else:
+            guide = jnp.asarray(rng.uniform(0, 1, (2, 20, 24, 1)), jnp.float32)
+            src = jnp.asarray(rng.uniform(0, 1, (2, 20, 24, 6)), jnp.float32)
+        cot = [jnp.asarray(rng.normal(size=src.shape), jnp.float32) for _ in eps_list]
+
+        def loss_custom(g, s):
+            with packed_mode(packed):
+                outs = guided_filter_multi_eps(g, s, 4, eps_list)
+            return sum(jnp.sum(o * c) for o, c in zip(outs, cot))
+
+        def loss_raw(g, s):
+            outs = _gf_forward(packed, 4, eps_list, g, s)[0]
+            return sum(jnp.sum(o * c) for o, c in zip(outs, cot))
+
+        gc = jax.grad(loss_custom, argnums=(0, 1))(guide, src)
+        gr = jax.grad(loss_raw, argnums=(0, 1))(guide, src)
+        for a, b in zip(gc, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=f"packed={packed}",
+            )
