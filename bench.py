@@ -139,11 +139,11 @@ def main():
             backbone="mit_b3",
             num_classes=9,
             fusion=lambda: FusionNetSearched(32, PAIF_GENOTYPE),
-            # Selective remat of encoder stages 0-1: their 19200/4800-token
-            # activations are the HBM bulk but a small fraction of FLOPs.
-            # remat=False fit at batch 16 with the einsum box filter but
-            # misses by ~84 MB with the Pallas box kernel in the backward.
-            remat=(0, 1),
+            # Full encoder remat: with the guided filter's analytic-VJP
+            # residuals, batch 16 needs the whole encoder rematted (sweep:
+            # True/b16 5.19 fits; (0,1)/b16 and False/b16 OOM; False/b8
+            # 5.01). Remat scope costs <2% — the fusion branch dominates.
+            remat=True,
         )
         atk = make_attack_both(
             lambda v, i, s: model_r.apply(v, i, s), AttackConfig(iters=5)
