@@ -26,7 +26,7 @@ import numpy as np
 # clean forward 13.59 s/pair (0.0736 pairs/s); PGD-5 attack 513 s/pair.
 BASELINE_PAIRS_PER_SEC = 0.0736
 
-BATCH = 16  # measured knee of the throughput curve on v5e (B8 ~22, B16 ~39, B32 ~40 pairs/s)
+BATCH = 32  # packed-layout curve on v5e: B16 55.7 / B24 59.1 / B32 60.4 pairs/s
 # With the packed fusion layout the PGD fwd+bwd fits HBM at batch 16 with NO
 # encoder remat (scripts/bench_pgd.py sweep: False/b16 5.36 > (0,1)/b16 5.31
 # > True/b16 5.14 attacked pairs/s); remat stays available for bigger batches.
