@@ -119,9 +119,10 @@ def _pick_tile(total: int, bytes_per_col: int, budget: int = 1024 * 1024) -> int
     keeps the program near 8 MB of the ~16 MB VMEM.
     """
     for t in range(total, 0, -1):
-        if total % t == 0 and t * bytes_per_col <= budget:
+        # the tile lands in a block's sublane slot: keep it 8-aligned
+        if total % t == 0 and t % 8 == 0 and t * bytes_per_col <= budget:
             return t
-    return 1
+    return 8
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -172,6 +173,8 @@ def pallas_box_applicable(xp_shape, r: int) -> bool:
     return (
         r == R
         and c4 % 128 == 0
+        and hp % 8 == 0
+        and wp % 8 == 0
         and hp > 2 * R
         and wp > 2 * R
         and pallas_box_enabled()

@@ -150,7 +150,7 @@ def main():
 
     # correctness vs plain first (tiny shapes, f32; C=32 so the packed
     # width is 128 and the Pallas path applies)
-    xs = jnp.asarray(rng.uniform(0, 1, (1, 32, 40, 32)), jnp.float32)
+    xs = jnp.asarray(rng.uniform(0, 1, (1, 32, 48, 32)), jnp.float32)
     ref = box_filter(xs, R)
     for name, fn in [
         ("B", variant_b),
