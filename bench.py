@@ -128,7 +128,7 @@ def main():
 
     # PGD-5 attack throughput (the robust-eval hot loop), diagnostics only
     try:
-        ab = ATTACK_BATCH
+        ab = min(ATTACK_BATCH, BATCH)  # --batch < 16 shrinks the attack leg too
         label = jnp.asarray(rng.integers(0, 9, (ab, H, W)), jnp.int32)
         atk_ir, atk_vis = ir_b[:ab], vis_b[:ab]
         if use_dp:

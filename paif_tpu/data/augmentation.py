@@ -39,8 +39,11 @@ class RandomCrop:
             h0, w0 = image.shape[:2]
             c1 = int(rng.integers(0, max(int(w0 * self.crop_rate), 1)))  # axis-1 low
             r1 = int(rng.integers(0, max(int(h0 * self.crop_rate), 1)))  # axis-0 low
-            c2 = int(rng.integers(w0 - int(w0 * self.crop_rate), w0 + 1))  # axis-1 high
-            r2 = int(rng.integers(h0 - int(h0 * self.crop_rate), h0 + 1))  # axis-0 high
+            # low bound truncates the FLOAT w0 - w0*rate (np.random.randint
+            # semantics) — differs by 1 from w0 - int(w0*rate) when
+            # w0*crop_rate is fractional
+            c2 = int(rng.integers(int(w0 - w0 * self.crop_rate), w0 + 1))  # axis-1 high
+            r2 = int(rng.integers(int(h0 - h0 * self.crop_rate), h0 + 1))  # axis-0 high
             image = image[r1:r2, c1:c2]
             label = label[r1:r2, c1:c2]
         return image, label

@@ -108,7 +108,16 @@ class FusionMetaDataset:
         self.filepath_label = prepare_data_path(label_path)[0] if label_path else None
         self.crop = crop_size
         self.rng = np.random.default_rng(seed)
-        self.length = min(len(self.filepath_vis), len(self.filepath_ir))
+        lists = [
+            self.filepath_vis,
+            self.filepath_ir,
+            self.filepath_mask,
+            self.filepath_iro,
+            self.filepath_viso,
+        ]
+        if self.filepath_label is not None:
+            lists.append(self.filepath_label)
+        self.length = min(len(lst) for lst in lists)
 
     def __len__(self) -> int:
         return self.length

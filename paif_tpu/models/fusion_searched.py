@@ -45,19 +45,23 @@ class FusionNetSearched(nn.Module):
 
         c = self.features
         g = self.genotype
-        ir = ir[..., 0:1]
-        vis = vis[..., 0:1]
+        already_packed = is_packed()
+        if already_packed:
+            # nested in a caller's packed context: channel 0 = first 4
+            # packed channels (c-major/phase-minor)
+            ir = ir[..., 0:4]
+            vis = vis[..., 0:4]
+            use_packed = False
+        else:
+            ir = ir[..., 0:1]
+            vis = vis[..., 0:1]
+            use_packed = (
+                packed_enabled() and ir.shape[1] % 2 == 0 and ir.shape[2] % 2 == 0
+            )
+            if use_packed:
+                ir, vis = pack(ir), pack(vis)
 
-        use_packed = (
-            packed_enabled()
-            and not is_packed()  # tolerate nesting: caller may already pack
-            and ir.shape[1] % 2 == 0
-            and ir.shape[2] % 2 == 0
-        )
-        if use_packed:
-            ir, vis = pack(ir), pack(vis)
-
-        with packed_mode(use_packed or is_packed()):
+        with packed_mode(use_packed or already_packed):
             fir = PReLU(name="stem_1_act")(Conv(c, 3, name="stem_1")(ir))
             fvis = PReLU(name="stem_2_act")(Conv(c, 3, name="stem_2")(vis))
 

@@ -71,15 +71,6 @@ def box_filter(x: jnp.ndarray, r: int) -> jnp.ndarray:
     return _box_1d(_box_1d(x, r, axis=1), r, axis=2)
 
 
-def _window_sizes(h: int, w: int, r: int, dtype) -> jnp.ndarray:
-    """(1,H,W,1) true clamped-window pixel counts (f32 box of ones).
-
-    Built from a constant inside the trace, so XLA constant-folds it.
-    """
-    n = box_filter(jnp.ones((1, h, w, 1), jnp.float32), r)
-    return n.astype(dtype)
-
-
 def guided_filter_multi_eps(
     guide: jnp.ndarray, src: jnp.ndarray, r: int, eps_list: Sequence[float]
 ) -> list[jnp.ndarray]:

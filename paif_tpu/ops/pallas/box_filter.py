@@ -122,7 +122,7 @@ def _pick_tile(total: int, bytes_per_col: int, budget: int = 1024 * 1024) -> int
         # the tile lands in a block's sublane slot: keep it 8-aligned
         if total % t == 0 and t % 8 == 0 and t * bytes_per_col <= budget:
             return t
-    return 8
+    return 0  # nothing fits: caller must fall back to the matmul path
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -177,5 +177,9 @@ def pallas_box_applicable(xp_shape, r: int) -> bool:
         and wp % 8 == 0
         and hp > 2 * R
         and wp > 2 * R
+        # both passes must have a VMEM-feasible 8-aligned tile (very large
+        # resolutions fall back to the matmul path instead of overflowing)
+        and _pick_tile(wp, (hp + 4) * c4 * 4) > 0
+        and _pick_tile(hp, (wp + 4) * c4 * 4) > 0
         and pallas_box_enabled()
     )

@@ -6,7 +6,6 @@ util/augmentation.py under a scripted RNG; the coupled Meta loader's shared
 crop window (incl. the optional seg label) is verified.
 """
 
-import sys
 
 import numpy as np
 import pytest
@@ -42,11 +41,10 @@ def test_mf_dataset(tmp_path, rng):
 def test_mf_dataset_matches_reference_loader(tmp_path, rng):
     """Value parity with util/MF_dataset.py on the same 4-channel fixture:
     identical resize kernel, /255 scaling, channel split, label NEAREST."""
-    sys.path.insert(0, "/root/reference")
-    try:
-        from util.MF_dataset import MF_dataset
-    finally:
-        sys.path.remove("/root/reference")
+    from tests.reference_stubs import install_reference_stubs
+
+    install_reference_stubs()
+    from util.MF_dataset import MF_dataset
 
     _write_mfnet_fixture(tmp_path, rng)
     h, w = 16, 24
@@ -142,11 +140,10 @@ class _ScriptedRNG:
 def test_augmentation_matches_reference(aug_name, script, monkeypatch, rng):
     """Output parity with util/augmentation.py under a scripted RNG (square
     images: the reference names axes (w,h) swapped but slices consistently)."""
-    sys.path.insert(0, "/root/reference")
-    try:
-        from util import augmentation as ref_aug
-    finally:
-        sys.path.remove("/root/reference")
+    from tests.reference_stubs import install_reference_stubs
+
+    install_reference_stubs()
+    from util import augmentation as ref_aug
 
     import paif_tpu.data.augmentation as our_aug
 
@@ -166,3 +163,41 @@ def test_augmentation_matches_reference(aug_name, script, monkeypatch, rng):
     )
     np.testing.assert_array_equal(np.ascontiguousarray(ours_img), np.ascontiguousarray(ref_img))
     np.testing.assert_array_equal(np.ascontiguousarray(ours_lab), np.ascontiguousarray(ref_lab))
+
+
+def test_random_crop_bounds_fractional_size(monkeypatch, rng):
+    """The high-edge draw's LOW bound truncates the float w0 - w0*rate
+    (np.random.randint semantics): at 35x35 rate 0.1 the reference can
+    reach r2=31 (int(35-3.5)=31); w0 - int(w0*rate) = 32 would not."""
+    from tests.reference_stubs import install_reference_stubs
+
+    install_reference_stubs()
+    from util import augmentation as ref_aug
+
+    import paif_tpu.data.augmentation as our_aug
+
+    img = rng.integers(0, 256, (35, 35, 3)).astype(np.float32)
+    lab = rng.integers(0, 9, (35, 35)).astype(np.int64)
+
+    # scripted RNG hitting the minimum of every draw
+    class _Script:
+        def random(self):
+            return 0.0
+
+        def integers(self, lo, hi):
+            return lo
+
+    seq = iter([0.0])
+
+    def fake_rand():
+        return 0.0
+
+    def fake_randint(lo, hi):
+        return int(lo)
+
+    monkeypatch.setattr(ref_aug.np.random, "rand", fake_rand)
+    monkeypatch.setattr(ref_aug.np.random, "randint", fake_randint)
+    r_img, _ = ref_aug.RandomCrop(crop_rate=0.1, prob=1.0)(img.copy(), lab.copy())
+
+    o_img, _ = our_aug.RandomCrop(crop_rate=0.1, prob=1.0)(img.copy(), lab.copy(), _Script())
+    assert o_img.shape == r_img.shape
