@@ -87,7 +87,11 @@ def build_model(cfg: Config, remat: bool | Tuple[int, ...] = False) -> PAIFJoint
     m = cfg.model
     genotype: Genotype = m.genotype
     if m.fusion_model == "searched":
-        fusion = lambda: FusionNetSearched(m.fusion_channels, genotype)  # noqa: E731
+        # remat-built models are the memory-tight differentiating paths
+        # (robust eval, AAT training): lean guided-filter gradients too.
+        fusion = lambda: FusionNetSearched(  # noqa: E731
+            m.fusion_channels, genotype, remat_filter=bool(remat)
+        )
     else:
         from paif_tpu.models.registry import FUSION_ZOO
 

@@ -31,6 +31,9 @@ class FusionNetSearched(nn.Module):
 
     features: int = 32
     genotype: Genotype = PAIF_GENOTYPE
+    # Lean-memory guided-filter gradients (jax.checkpoint over the split):
+    # set by memory-tight differentiating callers (robust eval / AAT train).
+    remat_filter: bool = False
 
     @nn.compact
     def __call__(self, ir: jnp.ndarray, vis: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -66,7 +69,11 @@ class FusionNetSearched(nn.Module):
             fvis = PReLU(name="stem_2_act")(Conv(c, 3, name="stem_2")(vis))
 
             ir_feat, vis_feat = CellDecom(
-                c, g.ops("normal_1"), g.ops("normal_2"), name="decompation"
+                c,
+                g.ops("normal_1"),
+                g.ops("normal_2"),
+                remat_filter=self.remat_filter,
+                name="decompation",
             )(fir, fvis, train)
 
             scale = CrossModalSpatialGate(name="spa")(ir_feat, vis_feat, train)

@@ -55,22 +55,38 @@ def residue(x: jnp.ndarray) -> jnp.ndarray:
     return (jnp.max(x, axis=-1) - jnp.min(x, axis=-1))[..., None]
 
 
-def decompose(x: jnp.ndarray, radius: int = 4, eps_list: Tuple[float, ...] = (1e-3, 1e-4)):
+def decompose(
+    x: jnp.ndarray,
+    radius: int = 4,
+    eps_list: Tuple[float, ...] = (1e-3, 1e-4),
+    remat: bool = False,
+):
     """Guided-filter frequency split. Returns (LF, HF), each C*len(eps_list).
 
     The guide is the channel residue; each eps produces one (LF, x-LF) pair,
     concatenated along channels (model_fusion_auto.py:522-535).
 
-    Memory under differentiation is handled by the guided filter's analytic
-    custom VJP (ops/guided_filter.py): backward = 6 box sums, residuals =
-    the window moments only.
-    """
-    guide = residue(x)
-    # One fused call: the window moments are eps-independent, so the two-eps
-    # split shares them (6 C-channel box passes instead of 8).
-    lfs = guided_filter_multi_eps(guide, x, radius, eps_list)
-    hfs = [x - lf for lf in lfs]
-    return jnp.concatenate(lfs, axis=-1), jnp.concatenate(hfs, axis=-1)
+    Memory under differentiation: the guided filter's analytic custom VJP
+    (ops/guided_filter.py) saves only the window moments (backward = 6 box
+    sums, no recompute) — the fast default. remat=True additionally wraps
+    the split in jax.checkpoint so only the INPUT survives to the backward
+    (the moments are recomputed): ~2% slower per attack step but needed by
+    the memory-tight eval/train paths (robust CLI at 480x640 batch 8 holds
+    the eval step's extra outputs and OOMs with the moment residuals)."""
+
+    def _split(t):
+        guide = residue(t)
+        # One fused call: the window moments are eps-independent, so the
+        # two-eps split shares them (6 C-channel box passes instead of 8).
+        lfs = guided_filter_multi_eps(guide, t, radius, eps_list)
+        hfs = [t - lf for lf in lfs]
+        return jnp.concatenate(lfs, axis=-1), jnp.concatenate(hfs, axis=-1)
+
+    if remat:
+        import jax
+
+        _split = jax.checkpoint(_split)
+    return _split(x)
 
 
 class CellDecom(nn.Module):
@@ -81,14 +97,15 @@ class CellDecom(nn.Module):
     chain2_ops: Tuple[str, ...]  # genotype normal_2
     radius: int = 4
     eps_list: Tuple[float, ...] = (1e-3, 1e-4)
+    remat_filter: bool = False  # lean-memory guided-filter gradients
 
     @nn.compact
     def __call__(
         self, inp_ir: jnp.ndarray, inp_vis: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         c = self.features
-        lf_ir, hf_ir = decompose(inp_ir, self.radius, self.eps_list)
-        lf_vis, hf_vis = decompose(inp_vis, self.radius, self.eps_list)
+        lf_ir, hf_ir = decompose(inp_ir, self.radius, self.eps_list, self.remat_filter)
+        lf_vis, hf_vis = decompose(inp_vis, self.radius, self.eps_list, self.remat_filter)
         lf = Conv(c, 1, use_bias=True, name="conv1x1_lf")(jnp.concatenate([lf_ir, hf_ir], -1))
         hf = Conv(c, 1, use_bias=True, name="conv1x1_hf")(jnp.concatenate([lf_vis, hf_vis], -1))
         lf_re = CellChain(c, self.chain1_ops, name="chain")(lf, train)

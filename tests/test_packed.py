@@ -193,3 +193,25 @@ def test_guided_filter_analytic_vjp(monkeypatch):
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
                 err_msg=f"packed={packed}",
             )
+
+
+def test_fusion_net_nested_packed_context(monkeypatch):
+    """FusionNetSearched embedded in a caller's packed context consumes
+    packed inputs and returns packed output, equal to the plain result."""
+    from paif_tpu.genotype import PAIF_GENOTYPE
+    from paif_tpu.models import FusionNetSearched
+    from paif_tpu.ops.packed import pack, packed_mode, unpack
+
+    monkeypatch.setenv("PAIF_PACKED", "1")
+    rng = np.random.default_rng(12)
+    ir = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 1)), jnp.float32)
+    vis = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 1)), jnp.float32)
+    model = FusionNetSearched(32, PAIF_GENOTYPE)
+    variables = model.init(jax.random.PRNGKey(0), ir, vis)
+    plain = model.apply(variables, ir, vis)
+
+    with packed_mode(True):
+        nested = model.apply(variables, pack(ir), pack(vis))
+    np.testing.assert_allclose(
+        np.asarray(unpack(nested)), np.asarray(plain), rtol=2e-5, atol=2e-5
+    )
