@@ -198,3 +198,24 @@ def test_robust_cli_modes_and_bf16(tmp_path):
 
     m2 = clean_main(["--config", str(cfg_path)])
     assert np.isfinite(m2["iou_mean"])
+
+
+def test_search_cli(tmp_path):
+    """DARTS search CLI end to end: bilevel steps on synthetic pairs, derived
+    genotype JSON round-trips through the Genotype schema."""
+    import json
+
+    from paif_tpu.cli.search import main
+    from paif_tpu.genotype import Genotype
+    from paif_tpu.nn.ops_registry import parse_op_string
+
+    out = tmp_path / "geno.json"
+    rc = main(
+        ["--synthetic", "--steps", "3", "--batch_size", "2", "--crop", "32",
+         "--channels", "8", "--out", str(out)]
+    )
+    assert rc == 0
+    g = Genotype.from_dict(json.load(open(out)))
+    for chain in ("normal_1", "normal_2", "normal_3"):
+        for op in g.ops(chain):
+            parse_op_string(op)  # every derived op is a valid primitive
