@@ -33,6 +33,17 @@ def main(argv=None) -> int:
     ap.add_argument("--channels", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--bilevel", action=argparse.BooleanOptionalAction, default=True)
+    ap.add_argument(
+        "--seg_weight",
+        type=float,
+        default=0.0,
+        help="perception-aware search: weight of a jointly-trained seg-probe "
+        "CE term in the objective (the reference couples 0.1*fusion + 4*seg, "
+        "model_fusion_auto.py:1093-1100); needs labels (--label_path or "
+        "--synthetic)",
+    )
+    ap.add_argument("--label_path", help="seg labels for --seg_weight on real data")
+    ap.add_argument("--num_classes", type=int, default=9)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="genotype.json")
     a = ap.parse_args(argv)
@@ -53,20 +64,23 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(a.seed)
     hw = (a.crop, a.crop)
 
+    want_labels = a.seg_weight > 0
     if a.synthetic or not (a.ir_path and a.vi_path):
         from paif_tpu.data.synthetic import SyntheticFusionDataset
 
         ds = SyntheticFusionDataset(n=max(2 * a.batch_size, 8), hw=(128, 128), seed=a.seed)
-        items = [(vis, ir) for vis, ir, _lab, _n in ds.items]
+        items = [(vis, ir, lab) for vis, ir, lab, _n in ds.items]
         log.info("search on %d synthetic pairs", len(items))
     else:
         from paif_tpu.data.datasets import FusionDataset
 
-        fd = FusionDataset(a.ir_path, a.vi_path)
+        fd = FusionDataset(a.ir_path, a.vi_path, a.label_path)
         items = []
         for i in range(len(fd)):
-            vis, ir, _label, _name = fd[i]
-            items.append((vis, ir))
+            vis, ir, label, _name = fd[i]
+            items.append((vis, ir, label))
+        if want_labels and not a.label_path:
+            raise SystemExit("--seg_weight needs --label_path (or --synthetic)")
         log.info("search on %d pairs from %s", len(items), a.vi_path)
 
     def batch(key):
@@ -80,18 +94,25 @@ def main(argv=None) -> int:
         # mask target: per-pixel max of the two luminances (Fusionloss6's
         # saliency surrogate when no mask labels exist)
         mask = np.maximum(ir[..., :1], vis[..., :1])
-        return jnp.asarray(ir), jnp.asarray(vis[..., :1]), jnp.asarray(mask)
+        out = (jnp.asarray(ir), jnp.asarray(vis[..., :1]), jnp.asarray(mask))
+        if want_labels:
+            lab = np.stack([items[i][2] for i in idx])
+            lab = lab[:, h0 : h0 + hw[0], w0 : w0 + hw[1]]
+            out = (*out, jnp.asarray(lab.astype(np.int32)))
+        return out
 
-    model = SuperFusionNet(features=a.channels)
-    ir0, vis0, _ = batch(0)
-    variables = model.init(jax.random.PRNGKey(a.seed), ir0, vis0)
+    model = SuperFusionNet(
+        features=a.channels, seg_classes=a.num_classes if want_labels else 0
+    )
+    b0 = batch(0)
+    variables = model.init(jax.random.PRNGKey(a.seed), b0[0], b0[1])
     state = create_search_state(model, variables, lr=a.lr)
 
     # both step factories return already-jitted fns
     if a.bilevel:
-        step = make_bilevel_search_step(model, fusion_loss6)
+        step = make_bilevel_search_step(model, fusion_loss6, a.seg_weight)
     else:
-        step = make_search_step(model, fusion_loss6)
+        step = make_search_step(model, fusion_loss6, a.seg_weight)
 
     for it in range(a.steps):
         if a.bilevel:

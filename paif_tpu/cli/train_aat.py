@@ -45,6 +45,21 @@ def main(argv=None):
     p.add_argument("--ir_orig_path", default=None, type=str)
     p.add_argument("--vi_orig_path", default=None, type=str)
     p.add_argument("--crop_size", default=None, type=int)
+    p.add_argument(
+        "--stop_at",
+        default=None,
+        type=int,
+        help="halt this invocation at iteration N without shortening the LR "
+        "schedule horizon (which is --max_iters); pair with --resume to "
+        "split a run across invocations",
+    )
+    p.add_argument(
+        "--resume",
+        default=None,
+        type=str,
+        help="path of a step_N train-state checkpoint to resume from "
+        "(restores step, params, batch_stats AND optimizer moments)",
+    )
     args = p.parse_args(argv)
     cfg = config_from_args(args)
     if args.max_iters is not None:
@@ -89,12 +104,39 @@ def main(argv=None):
         ),
     )
     state = create_train_state(model, variables, tcfg)
+    if args.resume:
+        from paif_tpu.io.checkpoint import restore_train_state
+
+        state = restore_train_state(args.resume, state)
+        log.info("resumed from %s at step %d", args.resume, int(state.step))
     step_fn = make_aat_train_step(model, tcfg, FUSION_LOSSES[cfg.train.fusion_loss])
     key = jax.random.PRNGKey(cfg.seed)
 
-    it = 0
+    # Mesh data parallelism: with >1 visible device the state is replicated
+    # and each batch sharded on its leading dim; the jitted step runs SPMD
+    # with XLA inserting the gradient psums (the dryrun in __graft_entry__
+    # proves this step compiles and executes on an 8-device mesh).
+    mesh = None
+    if jax.device_count() > 1:
+        from paif_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+        # shard over the largest device count that divides the batch size
+        n = jax.device_count()
+        while cfg.dataset.batch_size % n:
+            n -= 1
+        if n > 1:
+            mesh = make_mesh(devices=jax.devices()[:n])
+            state = replicate(mesh, state)
+            log.info(
+                "data-parallel over %d devices (%d per chip)",
+                n,
+                cfg.dataset.batch_size // n,
+            )
+
+    it = int(state.step)
+    stop_at = min(cfg.train.max_iters, args.stop_at or cfg.train.max_iters)
     t0 = time.time()
-    while it < cfg.train.max_iters:
+    while it < stop_at:
         if meta:
             keys = ("vis", "ir", "vis_orig", "ir_orig", "mask") + (
                 ("label", "name") if meta_labels else ("name",)
@@ -123,20 +165,22 @@ def main(argv=None):
                 # mask target: reference AAT uses a decomposition mask; fall
                 # back to max(ir, vis_y) when the dataset carries none.
                 mask = batch.get("mask", np.maximum(ir, vis.mean(-1, keepdims=True)))
-            state, metrics = step_fn(state, ir, vis, mask, labels, jax.random.fold_in(key, it))
+            step_args = (ir, vis, mask, labels)
+            if mesh is not None:
+                from paif_tpu.parallel.mesh import shard_batch
+
+                step_args = shard_batch(mesh, step_args)
+            state, metrics = step_fn(state, *step_args, jax.random.fold_in(key, it))
             it += 1
             if it % 10 == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 log.info("iter %d  %s  (%.2f s)", it, m, time.time() - t0)
-            if it % args.save_every == 0 or it >= cfg.train.max_iters:
-                from paif_tpu.io.checkpoint import save_variables
+            if it % args.save_every == 0 or it >= stop_at:
+                from paif_tpu.io.checkpoint import save_train_state
 
-                save_variables(
-                    f"{args.out}/step_{it}",
-                    {"params": jax.device_get(state.params), "batch_stats": jax.device_get(state.batch_stats)},
-                )
-                log.info("saved checkpoint at iter %d", it)
-            if it >= cfg.train.max_iters:
+                save_train_state(f"{args.out}/step_{it}", state)
+                log.info("saved train state at iter %d", it)
+            if it >= stop_at:
                 break
     return state
 

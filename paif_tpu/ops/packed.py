@@ -143,7 +143,19 @@ def conv_same_packed(
     xp: (B,H',W',4ci); w: (kh,kw,ci/groups,co) as stored unpacked. groups>1
     follows lax grouped-conv semantics on the original channels (c-major
     packed channels keep each group contiguous).
+
+    On the TPU bf16 fast path, large-contraction k3 (L>=384) and k7
+    dilation-1 ungrouped convs route to the Pallas implicit-GEMM z kernel
+    (ops/pallas/zconv.py) — fewer MXU FLOPs via the half-shift identity,
+    dispatched only where it measures faster (see zconv_applicable). The
+    f32 parity path and small-contraction shapes use the scattered conv
+    (the pure-XLA z form below loses its win to the repack
+    materialization — measured 11.0 vs 5.6 ms scattered at flagship shape).
     """
+    from paif_tpu.ops.pallas.zconv import zconv, zconv_applicable
+
+    if zconv_applicable(xp.shape, w.shape, dilation, groups, xp.dtype):
+        return zconv(xp, w)
     wp, (rh, rw) = pack_kernel(w, dilation)
     return jax.lax.conv_general_dilated(
         xp,
@@ -151,6 +163,65 @@ def conv_same_packed(
         (1, 1),
         [(rh, rh), (rw, rw)],
         feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=get_precision(),
+    )
+
+
+def _phase_lane_masks(c4: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Boolean lane masks (pi bit clear, pj bit clear) for c-major packing."""
+    lanes = np.arange(c4)
+    return ((lanes >> 1) & 1) == 0, (lanes & 1) == 0
+
+
+def make_z(xp: jnp.ndarray) -> jnp.ndarray:
+    """Half-shifted repack WITHOUT the lane permutation ("y" form):
+    y[i,j,(c,pi,pj)] = x_orig[2i-2+pi, 2j-2+pj? ...] — precisely, a lane
+    keeps its own phase bits and reads the block shifted DOWN one for
+    pi=1 lanes: y[A] = xp[A-1] (pi=1) / xp[A] (pi=0) per axis, so that
+    y[A, (c,pi,pj)] holds true-z[A, (c,1-pi,1-pj)]. The phase complement
+    is folded into the conv weights (ops/pallas/zconv._z_weights), which
+    turns the construction into pure pad/slice/select on UNPERMUTED lanes
+    — one fused XLA pass (the lane-reverse variant measured 7.3 ms at
+    (16,240,320,128); this form ~0.5 ms).
+
+    Output has one extra block row/col (B,H'+1,W'+1,4C): block H' carries
+    original row 2H'-1 = H-1 at its pi=1 lane. Out-of-range pixels are
+    zero — the SAME-padding semantics of the original conv.
+    """
+    b, hp, wp_, c4 = xp.shape
+    pi0, pj0 = _phase_lane_masks(c4)
+    xq = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)))  # xq[t] = xp[t-1]
+    # y row A: pi=1 lanes read xp[A-1] = xq[A]; pi=0 read xp[A] = xq[A+1]
+    yr = jnp.where(jnp.asarray(pi0), xq[:, 1 : hp + 2], xq[:, : hp + 1])
+    return jnp.where(jnp.asarray(pj0), yr[:, :, 1 : wp_ + 2], yr[:, :, : wp_ + 1])
+
+
+def conv_same_packed_z(xp: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 SAME conv on a packed tensor via the half-shift z form.
+
+    Key identity: the original k-tap window around output row 2i+qi spans
+    original rows that tile exactly into blocks of the HALF-SHIFTED packing
+    z (rows 2A-1, 2A per z block A). A k3 conv therefore becomes a 2x2
+    conv over z (contraction 4*C_packed = 512 for C=32, vs the scattered
+    kernel's 9*128 = 1152 for the same 9*32 useful taps), and k7 a 4x4
+    conv (16 blocks vs 25). Output lands directly in the standard packing.
+
+    Uses the unpermuted "y" form of z (make_z) with the phase complement
+    folded into the weights — see ops/pallas/zconv._z_weights.
+    """
+    from paif_tpu.ops.pallas.zconv import _Z_EXTENT, _z_weights
+
+    z = make_z(xp)
+    wz = _z_weights(w)
+    a_lo, a_hi = _Z_EXTENT[w.shape[0]]
+    # output block i reads z blocks i + a_lo .. i + a_hi; z has hp+1 rows
+    pad = (-a_lo, a_hi - 1)
+    return jax.lax.conv_general_dilated(
+        z,
+        wz,
+        (1, 1),
+        [pad, pad],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=get_precision(),
     )

@@ -79,12 +79,34 @@ class SuperChain(nn.Module):
         return x + s
 
 
+class SegProbe(nn.Module):
+    """Tiny jointly-trained segmentation head on the fused output — the
+    perception term of the search objective. The paper's premise is
+    perception-AWARE fusion (the coupled loss surface is the reference's
+    _loss = 0.1*fusion + 4*seg CE, model_fusion_auto.py:1093-1100); adding
+    this probe's CE to the DARTS val objective makes the architecture
+    gradient see segmentation utility, not just reconstruction."""
+
+    num_classes: int
+    width: int = 32
+
+    @nn.compact
+    def __call__(self, fused: jnp.ndarray) -> jnp.ndarray:
+        x = PReLU(name="act")(Conv(self.width, 3, name="conv1")(fused))
+        return Conv(self.num_classes, 1, use_bias=True, name="cls")(x)
+
+
 class SuperFusionNet(nn.Module):
-    """FusionNetSearched topology with searchable chains."""
+    """FusionNetSearched topology with searchable chains.
+
+    seg_classes > 0 attaches a SegProbe to the fused output and returns
+    (fused, seg_logits) instead of fused — the perception-aware search
+    configuration (cli/search.py --seg_weight)."""
 
     features: int = 32
     steps: int = 2
     primitives: Tuple[str, ...] = PRIMITIVES_BLOCK
+    seg_classes: int = 0
 
     @nn.compact
     def __call__(self, ir: jnp.ndarray, vis: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -106,7 +128,10 @@ class SuperFusionNet(nn.Module):
         refined = SuperChain(c, self.steps, self.primitives, name="chain3")(agg, train)
         out = Conv(c // 2, 3, name="stem_out_0")(refined)
         out = Conv(1, 3, name="stem_out_1")(out)
-        return jnp.tanh(PReLU(name="stem_out_act")(out))
+        fused = jnp.tanh(PReLU(name="stem_out_act")(out))
+        if self.seg_classes:
+            return fused, SegProbe(self.seg_classes, name="seg_probe")(fused)
+        return fused
 
 
 def _collect_alphas(params: Any) -> dict:
@@ -173,24 +198,41 @@ def create_search_state(
     )
 
 
-def make_search_step(model: SuperFusionNet, fusion_loss_fn):
-    """Single-level DARTS: one Adam step over weights AND alphas against the
-    fusion loss. fn(state, ir, vis, mask) -> (state, loss)."""
+def _search_loss(model, fusion_loss_fn, seg_weight, params, batch_stats, batch):
+    """Search objective: fusion loss, plus seg_weight * probe CE when the
+    supernet carries a SegProbe (batch then includes labels)."""
+    out, mut = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        batch[0],
+        batch[1],
+        True,
+        mutable=["batch_stats", "arch"],
+    )
+    if seg_weight:
+        from paif_tpu.ops.losses import cross_entropy_ignore
 
-    def loss_fn(params, state, ir, vis, mask):
-        fused, mut = model.apply(
-            {"params": params, "batch_stats": state.batch_stats},
-            ir,
-            vis,
-            True,
-            mutable=["batch_stats", "arch"],
+        ir, vis, mask, labels = batch
+        fused, seg = out
+        loss = fusion_loss_fn(ir, vis, fused, mask) + seg_weight * cross_entropy_ignore(
+            seg, labels
         )
-        return fusion_loss_fn(ir, vis, fused, mask), mut["batch_stats"]
+    else:
+        ir, vis, mask = batch
+        loss = fusion_loss_fn(ir, vis, out, mask)
+    return loss, mut["batch_stats"]
+
+
+def make_search_step(model: SuperFusionNet, fusion_loss_fn, seg_weight: float = 0.0):
+    """Single-level DARTS: one Adam step over weights AND alphas against the
+    search objective. fn(state, *batch) -> (state, loss)."""
+
+    def loss_fn(params, state, *batch):
+        return _search_loss(model, fusion_loss_fn, seg_weight, params, state.batch_stats, batch)
 
     @jax.jit
-    def step(state: SearchState, ir, vis, mask):
+    def step(state: SearchState, *batch):
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state, ir, vis, mask
+            state.params, state, *batch
         )
         updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -202,7 +244,7 @@ def make_search_step(model: SuperFusionNet, fusion_loss_fn):
     return step
 
 
-def make_bilevel_search_step(model: SuperFusionNet, fusion_loss_fn):
+def make_bilevel_search_step(model: SuperFusionNet, fusion_loss_fn, seg_weight: float = 0.0):
     """First-order bilevel DARTS (Liu et al. 2019, the practical xi=0 rule):
     weights step on the TRAIN split with alphas frozen, alphas step on the
     VAL split with weights frozen. Realized as one fused jitted update —
@@ -211,29 +253,24 @@ def make_bilevel_search_step(model: SuperFusionNet, fusion_loss_fn):
     for 'weights' leaves, val grads for 'arch' leaves), so the two-split
     recipe costs one XLA dispatch per step.
 
-    fn(state, (ir_t, vis_t, mask_t), (ir_v, vis_v, mask_v))
-      -> (state, train_loss, val_loss)
+    With seg_weight > 0 both objectives carry the SegProbe CE term — the
+    VAL gradient (which drives the alphas) then optimizes perception, the
+    paper's actual premise (coupled loss: model_fusion_auto.py:1093-1100).
+
+    fn(state, train_batch, val_batch) -> (state, train_loss, val_loss);
+    batches are (ir, vis, mask) or (ir, vis, mask, labels) with seg_weight.
     """
 
-    def loss_fn(params, state, ir, vis, mask):
-        fused, mut = model.apply(
-            {"params": params, "batch_stats": state.batch_stats},
-            ir,
-            vis,
-            True,
-            mutable=["batch_stats", "arch"],
-        )
-        return fusion_loss_fn(ir, vis, fused, mask), mut["batch_stats"]
+    def loss_fn(params, state, *batch):
+        return _search_loss(model, fusion_loss_fn, seg_weight, params, state.batch_stats, batch)
 
     @jax.jit
     def step(state: SearchState, train_batch, val_batch):
-        ir_t, vis_t, mask_t = train_batch
-        ir_v, vis_v, mask_v = val_batch
         (train_loss, new_bs), g_train = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state, ir_t, vis_t, mask_t
+            state.params, state, *train_batch
         )
         (val_loss, _), g_val = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state, ir_v, vis_v, mask_v
+            state.params, state, *val_batch
         )
         labels = param_labels(state.params)
         grads = jax.tree_util.tree_map(

@@ -138,6 +138,74 @@ def test_train_aat_cli_smoke(tmp_path):
     assert os.path.exists(tmp_path / "ckpt" / "step_2")
 
 
+def test_clean_eval_cli_with_torch_checkpoint(tmp_path):
+    """The checkpoint-parity runbook command (BASELINE.md): given a torch
+    .pth of the joint model (the published checkpoints' format,
+    robust_test.py:259-263), the eval CLI ingests it through
+    io/torch_import and produces the mIoU report — so the day a real
+    checkpoint is available the north-star check is a copy-paste."""
+    import torch
+
+    from tests.reference_stubs import install_reference_stubs
+
+    install_reference_stubs()
+    from core.model_fusion_auto import Network_MM_Searched
+
+    from paif_tpu.cli.test_original import main
+    from paif_tpu.genotype import PAIF_GENOTYPE
+    from tests.test_torch_parity import to_ref_genotype
+
+    torch.manual_seed(0)
+    ref = Network_MM_Searched(
+        8, to_ref_genotype(PAIF_GENOTYPE), None, None, "mit_b0", num_classes=9
+    ).eval()
+    pth = tmp_path / "joint.pth"
+    torch.save(ref.state_dict(), pth)
+
+    metrics = main(
+        ["--config", TINY, "--checkpoint", str(pth), "--save_dir", str(tmp_path / "out")]
+    )
+    assert 0.0 <= metrics["iou_mean"] <= 1.0
+
+
+def test_train_aat_kill_and_resume(tmp_path):
+    """Full train-state resume (VERDICT round-2 missing #3): a run killed at
+    step 2 and resumed from its checkpoint must continue with the SAME Adam
+    moments and LR schedule as an uninterrupted run — i.e. params, opt_state
+    and step all match at step 4. The reference can only resume the LR
+    (PolyWarmupAdamW_seg iter_curr, utils/optimizer.py:36-47)."""
+    import jax
+    import numpy as np
+
+    from paif_tpu.cli.train_aat import main
+
+    common = ["--config", TINY, "--save_every", "2", "--max_iters", "4"]
+    straight = main([*common, "--out", str(tmp_path / "a")])
+    # "killed" run: same schedule horizon (--max_iters), halted at 2 via
+    # --stop_at, then resumed from the saved state
+    main([*common, "--stop_at", "2", "--out", str(tmp_path / "b")])
+    resumed = main(
+        [
+            *common,
+            "--max_iters",
+            "4",
+            "--out",
+            str(tmp_path / "b"),
+            "--resume",
+            str(tmp_path / "b" / "step_2"),
+        ]
+    )
+    assert int(resumed.step) == 4
+    for name, a, b in (
+        ("params", straight.params, resumed.params),
+        ("opt_state", straight.opt_state, resumed.opt_state),
+    ):
+        for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), atol=1e-6, rtol=1e-5, err_msg=name
+            )
+
+
 def test_config_genotype_roundtrip(tmp_path):
     """Genotype literals survive YAML round trip with reference schema keys."""
     import yaml
@@ -219,3 +287,26 @@ def test_search_cli(tmp_path):
     for chain in ("normal_1", "normal_2", "normal_3"):
         for op in g.ops(chain):
             parse_op_string(op)  # every derived op is a valid primitive
+
+
+def test_search_cli_perception_aware(tmp_path):
+    """Perception-aware bilevel search (--seg_weight): the val objective that
+    drives the alphas carries a jointly-trained seg-probe CE term (the
+    reference's coupled 0.1*fusion + 4*seg surface,
+    model_fusion_auto.py:1093-1100). End to end: genotype JSON derives."""
+    import json
+
+    from paif_tpu.cli.search import main
+    from paif_tpu.genotype import Genotype
+    from paif_tpu.nn.ops_registry import parse_op_string
+
+    out = tmp_path / "geno_pa.json"
+    rc = main(
+        ["--synthetic", "--steps", "2", "--batch_size", "2", "--crop", "32",
+         "--channels", "8", "--seg_weight", "4.0", "--out", str(out)]
+    )
+    assert rc == 0
+    g = Genotype.from_dict(json.load(open(out)))
+    for chain in ("normal_1", "normal_2", "normal_3"):
+        for op in g.ops(chain):
+            parse_op_string(op)

@@ -117,6 +117,30 @@ def test_segformer_b2_parity(rng):
     )
 
 
+def test_segformer_b3_parity(rng):
+    """Flagship-config parity (VERDICT round-2 missing #2): mit_b3's depths
+    [3,4,18,3] exercise stage-2 block indexing 18 deep and the full
+    drop-path ramp (models/mit.py dpr/cur bookkeeping) at the exact config
+    the shipped CLIs and bench run. Small resolution keeps the CPU runtime
+    budget sane; the depths/dims are the real flagship ones.
+    Reference: core/mix_transformer.py:413-420."""
+    from core.model_fusion_auto import WeTr
+
+    torch.manual_seed(0)
+    ref = WeTr("mit_b3", num_classes=9, embedding_dim=256, pretrained=None).eval()
+
+    x = rng.normal(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    model = SegFormer(backbone="mit_b3", num_classes=9)
+    variables = to_flax_variables(torch_state(ref), segformer_entries("mit_b3"))
+    got = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), ref_out, atol=2e-3, rtol=1e-3
+    )
+
+
 def test_joint_model_parity(rng):
     from core.model_fusion_auto import Network_MM_Searched
 
