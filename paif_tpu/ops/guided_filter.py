@@ -33,12 +33,26 @@ TPU design notes (round-2 final, after an A/B both ways on the real chip):
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def fast_gf_enabled() -> bool:
+    """PAIF_FAST_GF=1 (nearest a/b upsample) or =2/bilinear: He's fast
+    guided filter (subsample 2) on the packed path — 4x less box-filter
+    work. OFF by default: it is an approximation (classic fast-GF quality,
+    not bit parity); enable on the bf16 fast path once the mIoU drift at
+    the operating point is recorded (BASELINE.md)."""
+    return os.environ.get("PAIF_FAST_GF", "0") not in ("0", "false", "off")
+
+
+def fast_gf_bilinear() -> bool:
+    return os.environ.get("PAIF_FAST_GF", "0") in ("2", "bilinear")
 
 
 @lru_cache(maxsize=64)
@@ -93,7 +107,71 @@ def guided_filter_multi_eps(
     """
     from paif_tpu.ops.packed import is_packed
 
-    return list(_gf_vjp(is_packed(), r, tuple(eps_list), guide, src))
+    packed = is_packed()
+    if (
+        packed
+        and fast_gf_enabled()
+        and r % 2 == 0
+        and guide.shape[1] % 2 == 0
+        and guide.shape[2] % 2 == 0
+    ):
+        return _fast_gf_packed(guide, src, r, tuple(eps_list))
+    return list(_gf_vjp(packed, r, tuple(eps_list), guide, src))
+
+
+def _fast_gf_packed(guide, src, r, eps_list):
+    """He's FAST guided filter (ECCV'10 Sec. 6 / arXiv:1505.00996) on the
+    packed layout: moments and (a, b) computed on the 2x-subsampled grid
+    (phase-mean pool), then nearest-upsampled and combined with the FULL-
+    resolution guide. The subsampled per-channel image re-packs to the
+    same 128-lane layout at quarter area, so every box sum runs 4x
+    cheaper (radius r//2 — the Pallas kernel's r=2 case).
+
+    Pixel-for-pixel the subsampled grid IS the packed block grid: the
+    nearest upsample of a low-res map to full-res packed form is a plain
+    per-channel lane broadcast (repeat 4), and the whole path is ordinary
+    differentiable XLA + the symmetric-VJP box kernel — no custom VJP
+    machinery needed at these sizes.
+    """
+    from paif_tpu.ops.packed import pack, tile_gate_packed, unpack
+
+    b, hp, wp_, c4 = src.shape
+    c = c4 // 4
+    # subsample: 2x2 phase-mean (anti-aliased, 1 pass each)
+    g_lr = jnp.mean(guide, axis=-1, keepdims=True)
+    s_lr = jnp.mean(src.reshape(b, hp, wp_, c, 4), axis=-1)
+    g_p, s_p = pack(g_lr), pack(s_lr)
+    r2 = r // 2
+    bf, widen, _ = _helpers(True, c4, 4)
+    _, h2, w2, _ = g_p.shape
+    n = bf(jnp.ones((1, h2, w2, 4), jnp.float32), r2)
+    inv_n = 1.0 / n
+    inv_n_x = widen(inv_n).astype(src.dtype)
+    g32 = g_p.astype(jnp.float32)
+    mean_g32 = bf(g32, r2) * inv_n
+    var_g32 = bf(g32 * g32, r2) * inv_n - mean_g32 * mean_g32
+    mean_g = widen(mean_g32.astype(src.dtype))
+    guide_w_lr = widen(g_p)
+    mean_s = bf(s_p, r2) * inv_n_x
+    cov_gs = bf(guide_w_lr * s_p, r2) * inv_n_x - mean_g * mean_s
+    guide_w = tile_gate_packed(guide, c)
+    outs = []
+    for eps in eps_list:
+        a = cov_gs * widen((1.0 / (var_g32 + eps)).astype(src.dtype))
+        b_ = mean_s - a * mean_g
+        mean_a = bf(a, r2) * inv_n_x
+        mean_b = bf(b_, r2) * inv_n_x
+        if fast_gf_bilinear():
+            from paif_tpu.ops.resize import resize_bilinear
+
+            up = lambda t: pack(  # noqa: E731
+                resize_bilinear(unpack(t), (2 * hp, 2 * wp_), align_corners=False)
+            )
+        else:
+            # nearest: low-res map -> full-res packed is a lane broadcast
+            up = lambda t: jnp.repeat(unpack(t), 4, axis=-1)  # noqa: E731
+        outs.append(up(mean_a) * guide_w + up(mean_b))
+    return outs
 
 
 def _helpers(packed: bool, src_width: int, guide_width: int, allow_pallas: bool = True):

@@ -144,13 +144,11 @@ def conv_same_packed(
     follows lax grouped-conv semantics on the original channels (c-major
     packed channels keep each group contiguous).
 
-    On the TPU bf16 fast path, large-contraction k3 (L>=384) and k7
-    dilation-1 ungrouped convs route to the Pallas implicit-GEMM z kernel
-    (ops/pallas/zconv.py) — fewer MXU FLOPs via the half-shift identity,
-    dispatched only where it measures faster (see zconv_applicable). The
-    f32 parity path and small-contraction shapes use the scattered conv
-    (the pure-XLA z form below loses its win to the repack
-    materialization — measured 11.0 vs 5.6 ms scattered at flagship shape).
+    The Pallas implicit-GEMM z kernel (ops/pallas/zconv.py, opt-in via
+    PAIF_PALLAS_ZCONV=1) wins isolated at k7/L>=384 shapes but loses ~9%
+    end to end (fusion/layout barrier — see zconv_enabled); the scattered
+    conv is the default everywhere. The pure-XLA z form below is likewise
+    a measured negative (repack materialization: 11.0 vs 5.6 ms).
     """
     from paif_tpu.ops.pallas.zconv import zconv, zconv_applicable
 
@@ -255,7 +253,7 @@ def box_filter_packed(xp: jnp.ndarray, r: int, allow_pallas: bool = True) -> jnp
     )
 
     if allow_pallas and pallas_box_applicable(xp.shape, r):
-        return box_filter_packed_pallas(xp)
+        return box_filter_packed_pallas(xp, r)
 
     from paif_tpu.ops.guided_filter import _band_matrix  # same band, full res
 

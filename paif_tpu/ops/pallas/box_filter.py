@@ -27,8 +27,11 @@ Design:
   * VJP: the clamped box operator is symmetric (band matrix B = B^T, and
     (Bh ∘ Bw)^T = Bw ∘ Bh = same op), so the backward pass IS the kernel.
 
-Radius is fixed at 4 (the reference's Cell_Decom radiux — model_fusion_auto
-.py:500); other radii fall back to the matmul path in ops/packed.py.
+Even radii r = 2m generalize the r=4 structure (2m-1 both-phase central
+block shifts + one single-phase edge tap per side): r=4 is the reference's
+Cell_Decom radius (model_fusion_auto.py:500); r=2 serves the subsample-2
+fast guided filter (ops/guided_filter.py). Other radii fall back to the
+matmul path in ops/packed.py.
 """
 
 from __future__ import annotations
@@ -42,6 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 R = 4  # window 9 on the original grid; block shifts -2..2 on the packed grid
+SUPPORTED_R = (2, 4)  # even radii: m = r//2 block halo, same tap structure
 
 
 def pallas_box_enabled() -> bool:
@@ -82,11 +86,14 @@ def _combine(mid, lo, hi, xor_bit):
     return mid + lo + hi + _xor_roll(u, xor_bit)
 
 
-def _pass_kernel(x_ref, o_ref, s_ref, *, axis: int, xor_bit: int):
+def _pass_kernel(x_ref, o_ref, s_ref, *, axis: int, xor_bit: int, m: int):
     """One separable box pass over the full `axis` extent of the block.
 
     x_ref/o_ref: (1, A, B, C4) with the pass axis at position `axis` (1 or
-    2); s_ref: f32 scratch with 2 halo rows on each side of that axis.
+    2); s_ref: f32 scratch with m (= r//2 block) halo rows on each side of
+    that axis. Tap structure for even radius r = 2m: the 2m-1 central
+    block shifts feed BOTH phases (mid), the extreme shifts -m/+m miss one
+    phase each (lo/hi with the masked xor in _combine).
     """
     n = x_ref.shape[axis]
 
@@ -100,14 +107,18 @@ def _pass_kernel(x_ref, o_ref, s_ref, *, axis: int, xor_bit: int):
 
     # zero halos, then the body
     z2 = list(s_ref.shape)
-    z2[axis - 1] = 2
+    z2[axis - 1] = m
     zeros = jnp.zeros(z2, jnp.float32)
-    s_ref[_idx(0, 2)] = zeros
-    s_ref[_idx(n + 2, n + 4)] = zeros
-    s_ref[_idx(2, n + 2)] = x_ref[0].astype(jnp.float32)
+    s_ref[_idx(0, m)] = zeros
+    s_ref[_idx(n + m, n + 2 * m)] = zeros
+    s_ref[_idx(m, n + m)] = x_ref[0].astype(jnp.float32)
 
-    mid = sl(s_ref, 1, n + 1) + sl(s_ref, 2, n + 2) + sl(s_ref, 3, n + 3)
-    o_ref[0] = _combine(mid, sl(s_ref, 0, n), sl(s_ref, 4, n + 4), xor_bit).astype(o_ref.dtype)
+    mid = sl(s_ref, 1, n + 1)
+    for d in range(2, 2 * m):
+        mid = mid + sl(s_ref, d, n + d)
+    o_ref[0] = _combine(mid, sl(s_ref, 0, n), sl(s_ref, 2 * m, n + 2 * m), xor_bit).astype(
+        o_ref.dtype
+    )
 
 
 def _pick_tile(total: int, bytes_per_col: int, budget: int = 1024 * 1024) -> int:
@@ -125,61 +136,68 @@ def _pick_tile(total: int, bytes_per_col: int, budget: int = 1024 * 1024) -> int
     return 0  # nothing fits: caller must fall back to the matmul path
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def box_filter_packed_pallas(xp: jnp.ndarray) -> jnp.ndarray:
-    return _box_fwd_impl(xp)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _box_vjp(r: int, xp: jnp.ndarray) -> jnp.ndarray:
+    return _box_fwd_impl(xp, r)
 
 
-def _box_fwd_impl(xp: jnp.ndarray) -> jnp.ndarray:
+def box_filter_packed_pallas(xp: jnp.ndarray, r: int = R) -> jnp.ndarray:
+    return _box_vjp(r, xp)
+
+
+def _box_fwd_impl(xp: jnp.ndarray, r: int = R) -> jnp.ndarray:
     b, hp, wp, c4 = xp.shape
+    m = r // 2
     # H-pass: full H' per block, tiles over W'. The W-tiles make each block
     # a strided DMA, but the kernel is VPU-bound, not DMA-bound (a 3x-read
     # contiguous-halo variant measured 7.99 vs 6.69 ms — see git history).
-    tw = _pick_tile(wp, (hp + 4) * c4 * 4)
+    tw = _pick_tile(wp, (hp + 2 * m) * c4 * 4)
     y = pl.pallas_call(
-        functools.partial(_pass_kernel, axis=1, xor_bit=2),
+        functools.partial(_pass_kernel, axis=1, xor_bit=2, m=m),
         grid=(b, wp // tw),
         in_specs=[pl.BlockSpec((1, hp, tw, c4), lambda i, j: (i, 0, j, 0))],
         out_specs=pl.BlockSpec((1, hp, tw, c4), lambda i, j: (i, 0, j, 0)),
         out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
-        scratch_shapes=[pltpu.VMEM((hp + 4, tw, c4), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hp + 2 * m, tw, c4), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
     )(xp)
     # W-pass: full W' per block (already contiguous), tiles over H'.
-    th2 = _pick_tile(hp, (wp + 4) * c4 * 4)
+    th2 = _pick_tile(hp, (wp + 2 * m) * c4 * 4)
     return pl.pallas_call(
-        functools.partial(_pass_kernel, axis=2, xor_bit=1),
+        functools.partial(_pass_kernel, axis=2, xor_bit=1, m=m),
         grid=(b, hp // th2),
         in_specs=[pl.BlockSpec((1, th2, wp, c4), lambda i, j: (i, j, 0, 0))],
         out_specs=pl.BlockSpec((1, th2, wp, c4), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
-        scratch_shapes=[pltpu.VMEM((th2, wp + 4, c4), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((th2, wp + 2 * m, c4), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
     )(y)
 
 
-def _box_fwd(xp):
-    return _box_fwd_impl(xp), None
+def _box_fwd(r, xp):
+    return _box_fwd_impl(xp, r), None
 
 
-def _box_bwd(_res, g):
+def _box_bwd(r, _res, g):
     # The operator is symmetric: B^T = B per axis, (Bh∘Bw)^T = Bw∘Bh = Bh∘Bw.
-    return (_box_fwd_impl(g),)
+    return (_box_fwd_impl(g, r),)
 
 
-box_filter_packed_pallas.defvjp(_box_fwd, _box_bwd)
+_box_vjp.defvjp(_box_fwd, _box_bwd)
 
 
 def pallas_box_applicable(xp_shape, r: int) -> bool:
     b, hp, wp, c4 = xp_shape
     return (
-        r == R
+        r in SUPPORTED_R
         and c4 % 128 == 0
         and hp % 8 == 0
         and wp % 8 == 0
-        and hp > 2 * R
-        and wp > 2 * R
+        and hp > 2 * r
+        and wp > 2 * r
         # both passes must have a VMEM-feasible 8-aligned tile (very large
         # resolutions fall back to the matmul path instead of overflowing)
-        and _pick_tile(wp, (hp + 4) * c4 * 4) > 0
-        and _pick_tile(hp, (wp + 4) * c4 * 4) > 0
+        and _pick_tile(wp, (hp + 2 * (r // 2)) * c4 * 4) > 0
+        and _pick_tile(hp, (wp + 2 * (r // 2)) * c4 * 4) > 0
         and pallas_box_enabled()
     )

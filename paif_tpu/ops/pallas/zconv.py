@@ -18,9 +18,12 @@ sublane ROLLS — bf16 sublane-offset slices miscompile and bf16 rotates are
 unimplemented, see small_conv.py and the v1-v4 history in git), and
 contracts the ka*ka taps as MXU matmuls with f32 accumulation.
 
-Measured end state (see zconv_applicable): the z construction costs ~5 VPU
-passes no matter the contraction, so the kernel only wins where the MXU
-saving is large — k7, and k3 at L>=384 — and dispatch is limited to those.
+Measured end state: the z construction costs ~5 VPU passes no matter the
+contraction, so isolated the kernel only wins where the MXU saving is
+large — k7, and k3 at L>=384 (zconv_applicable limits dispatch to those) —
+and END TO END even those wins invert (56.4 vs 61.7 pairs/s at B32): the
+custom calls are fusion/layout barriers inside the full graph. Default
+OFF (zconv_enabled); kept as a measured negative result with tests.
 
 Semantics: exactly conv_same_packed's scattered conv (stride-1 SAME on the
 original grid, reference padding table operations_m.py:119-132) for odd k,
@@ -50,10 +53,16 @@ _VMEM_BUDGET = 11 * 1024 * 1024
 
 
 def zconv_enabled() -> bool:
+    """Opt-in (PAIF_PALLAS_ZCONV=1). Isolated the kernel beats the
+    scattered conv at its dispatched shapes (k7: 8.7 vs 9.5 ms, k3 L=384:
+    11.6 vs 12.6), but END TO END it loses ~9% forward (56.4 vs 61.7
+    pairs/s at B32) — the custom calls are fusion/layout barriers inside
+    the full graph, the same failure mode as the round-2 SR-attention and
+    small-conv kernels. Kept as measured research; default off."""
     env = os.environ.get("PAIF_PALLAS_ZCONV")
     if env is not None:
         return env not in ("0", "false", "off")
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def _divisors(n: int):

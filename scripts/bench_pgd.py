@@ -61,7 +61,7 @@ def main():
         atk = make_attack_both(
             lambda v, i, s: model.apply(v, i, s), AttackConfig(iters=args.iters)
         )
-        for batch in (8, 16):
+        for batch in (8, 16, 24):
             ir = jnp.asarray(rng.uniform(0, 1, (batch, H, W, 1)), jnp.bfloat16)
             vis = jnp.asarray(rng.uniform(0, 1, (batch, H, W, 3)), jnp.bfloat16)
             label = jnp.asarray(rng.integers(0, 9, (batch, H, W)), jnp.int32)

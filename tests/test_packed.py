@@ -215,3 +215,55 @@ def test_fusion_net_nested_packed_context(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(unpack(nested)), np.asarray(plain), rtol=2e-5, atol=2e-5
     )
+
+
+def test_fast_guided_filter(monkeypatch):
+    """He's subsample-2 fast guided filter (PAIF_FAST_GF, opt-in): exact on
+    constant images, close to the exact filter on smooth data, gradients
+    finite, and r=2 Pallas boxes exact vs the plain box."""
+    import importlib
+
+    gf = importlib.import_module("paif_tpu.ops.guided_filter")
+    from paif_tpu.ops.packed import pack, packed_mode, unpack
+
+    rng = np.random.default_rng(3)
+    # smooth image: repeated-upsample of a tiny random field
+    base = rng.normal(size=(2, 4, 6, 8)).astype(np.float32)
+    x = jnp.asarray(np.repeat(np.repeat(base, 8, 1), 8, 2))
+    g = jnp.max(x, -1, keepdims=True) - jnp.min(x, -1, keepdims=True)
+    exact = gf.guided_filter_multi_eps(g, x, 4, (1e-3,))[0]
+    for mode in ("1", "2"):
+        monkeypatch.setenv("PAIF_FAST_GF", mode)
+        with packed_mode(True):
+            fast = unpack(gf.guided_filter_multi_eps(pack(g), pack(x), 4, (1e-3,))[0])
+        rms = float(jnp.sqrt(jnp.mean((exact - fast) ** 2))) / (
+            float(jnp.std(exact)) + 1e-9
+        )
+        assert rms < 0.15, (mode, rms)
+
+        # constant image preserved
+        xc = jnp.full((1, 16, 16, 8), 0.7)
+        gc = jnp.zeros((1, 16, 16, 1))
+        with packed_mode(True):
+            outc = unpack(gf.guided_filter_multi_eps(pack(gc), pack(xc), 4, (1e-3,))[0])
+        np.testing.assert_allclose(np.asarray(outc), 0.7, atol=1e-5)
+
+        with packed_mode(True):
+            grad = jax.grad(
+                lambda a: jnp.sum(gf.guided_filter_multi_eps(pack(g), a, 4, (1e-3,))[0] ** 2)
+            )(pack(x))
+        assert bool(jnp.all(jnp.isfinite(grad)))
+
+
+def test_pallas_box_r2_matches_plain(monkeypatch):
+    from paif_tpu.ops.guided_filter import box_filter
+    from paif_tpu.ops.packed import pack, unpack
+    from paif_tpu.ops.pallas.box_filter import box_filter_packed_pallas, pallas_box_applicable
+
+    monkeypatch.setenv("PAIF_PALLAS_BOX", "1")
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 32)), jnp.float32)
+    xp = pack(x)
+    assert pallas_box_applicable(xp.shape, 2)
+    got = unpack(box_filter_packed_pallas(xp, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(box_filter(x, 2)), atol=1e-4)
