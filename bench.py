@@ -27,9 +27,12 @@ import numpy as np
 BASELINE_PAIRS_PER_SEC = 0.0736
 
 BATCH = 32  # packed-layout curve on v5e: B16 55.7 / B24 59.1 / B32 60.4 pairs/s
-# With the packed fusion layout the PGD fwd+bwd fits HBM at batch 16 with NO
-# encoder remat (scripts/bench_pgd.py sweep: False/b16 5.36 > (0,1)/b16 5.31
-# > True/b16 5.14 attacked pairs/s); remat stays available for bigger batches.
+# Attack leg: full encoder remat at batch 16 is the measured optimum of the
+# round-3 re-sweep (scripts/bench_pgd.py): no-remat b16 OOMs with the
+# analytic-VJP residuals; remat_filter variants (False/b16 4.74, False/b24
+# 4.63, True/b24 4.70) all lose to full-remat b16 5.16-5.19 — the GF
+# recompute costs more than its residuals save; b24+/b32 full-remat fail
+# HBM at compile.
 ATTACK_BATCH = 16
 INIT_HW = (64, 64)  # param shapes are resolution-independent; init small, run big
 H, W = 480, 640

@@ -29,6 +29,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--hw", type=int, nargs=2, default=(480, 640))
+    ap.add_argument(
+        "--configs",
+        default=None,
+        help="comma list of remat:batch pairs to run instead of the full "
+        "sweep, e.g. 'True:24,False:16,01:24' (01 = remat stages (0,1))",
+    )
+    ap.add_argument(
+        "--remat_filter",
+        action="store_true",
+        help="checkpoint the guided-filter split (drop its residuals in "
+        "the backward; the robust-CLI/AAT memory mode)",
+    )
     args = ap.parse_args()
 
     from paif_tpu.attack.pgd import AttackConfig, make_attack_both
@@ -49,19 +61,30 @@ def main():
         )
         return dict(v, params=bf16(v["params"]))
 
+    if args.configs:
+        _R = {"True": True, "False": False, "01": (0, 1)}
+        combos = [
+            (_R[c.split(":")[0]], int(c.split(":")[1])) for c in args.configs.split(",")
+        ]
+        plan = [(r, [b for rr, b in combos if rr == r]) for r in dict.fromkeys(r for r, _ in combos)]
+    else:
+        plan = [(r, [8, 16, 24]) for r in (False, (0, 1), True)]
+
     results = []
-    for remat in [False, (0, 1), True]:
+    for remat, batches in plan:
         model = PAIFJoint(
             backbone="mit_b3",
             num_classes=9,
-            fusion=lambda: FusionNetSearched(32, PAIF_GENOTYPE),
+            fusion=lambda: FusionNetSearched(
+                32, PAIF_GENOTYPE, remat_filter=args.remat_filter
+            ),
             remat=remat,
         )
         variables = variables_for(model)
         atk = make_attack_both(
             lambda v, i, s: model.apply(v, i, s), AttackConfig(iters=args.iters)
         )
-        for batch in (8, 16, 24):
+        for batch in batches:
             ir = jnp.asarray(rng.uniform(0, 1, (batch, H, W, 1)), jnp.bfloat16)
             vis = jnp.asarray(rng.uniform(0, 1, (batch, H, W, 3)), jnp.bfloat16)
             label = jnp.asarray(rng.integers(0, 9, (batch, H, W)), jnp.int32)
