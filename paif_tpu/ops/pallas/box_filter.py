@@ -121,13 +121,16 @@ def _pass_kernel(x_ref, o_ref, s_ref, *, axis: int, xor_bit: int, m: int):
     )
 
 
-def _pick_tile(total: int, bytes_per_col: int, budget: int = 1024 * 1024) -> int:
+def _pick_tile(total: int, bytes_per_col: int, budget: int = 1536 * 1024) -> int:
     """Largest divisor of `total` whose f32 column-slab stays under budget.
 
     The budget is per VALUE, not per kernel: besides the scratch, Mosaic
     keeps ~6 live f32 temporaries of the same shape (mid/lo/hi + rolls +
-    accumulator), so ~8x this budget of VMEM is actually in play; 1 MB
-    keeps the program near 8 MB of the ~16 MB VMEM.
+    accumulator), so ~8x this budget of VMEM is actually in play; 1.5 MB
+    keeps the program near 12 MB of the ~16 MB VMEM. (Round-3 regression
+    fix: the 8-align constraint plus a 1 MB budget silently disqualified
+    the flagship W-pass — 240 rows need tile 8 at 1.33 MB — so the kernel
+    fell back to einsum at exactly the shapes it was built for.)
     """
     for t in range(total, 0, -1):
         # the tile lands in a block's sublane slot: keep it 8-aligned
