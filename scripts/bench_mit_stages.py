@@ -51,7 +51,7 @@ class MitPrefix(nn.Module):
             x = tokens.reshape(tokens.shape[0], h, w, dims[s])
             outs.append(x)
         if self.with_head:
-            return SegFormerHead(num_classes=9, name="head")(outs, True)
+            return SegFormerHead(num_classes=9, name="head")(outs, False)
         return outs
 
 
