@@ -37,6 +37,7 @@ ATTACK_BATCH = 16
 INIT_HW = (64, 64)  # param shapes are resolution-independent; init small, run big
 H, W = 480, 640
 STEPS = 5
+REPS = 4  # chained in-jit reps for the steady-state slope (see below)
 
 
 def log(*a):
@@ -110,24 +111,49 @@ def main():
     # The jitted step reduces its outputs to ONE scalar that we read back to
     # host each iteration: a hard synchronization point that works even on
     # remote-tunnel platforms where block_until_ready returns early.
-    @jax.jit
-    def fwd(v, i, s):
-        fused, seg = model.apply(v, i, s)
-        return jnp.sum(fused.astype(jnp.float32)) + jnp.sum(seg.astype(jnp.float32))
+    #
+    # Round-3 methodology fix: one dispatch+readback through the axon tunnel
+    # carries ~122 ms of FIXED host-sync latency (measured intercept: reps
+    # 1/2/4 at B16 = 273/425/728 ms -> slope 151.5, intercept 121.7;
+    # scripts/bench_steady_state.py). A production eval pipeline overlaps
+    # that latency (eval/harness.py accumulates its confusion matrix on
+    # device and syncs once), so the headline is the STEADY-STATE cost: the
+    # slope of wall time vs chained in-jit reps. The single-dispatch number
+    # (what rounds 1-2 reported) is still logged for continuity.
+    def make_fwd(reps):
+        @jax.jit
+        def fwd(v, i, s):
+            acc = jnp.float32(0)
+            for _ in range(reps):
+                fused, seg = model.apply(v, i, s)
+                t = jnp.sum(fused.astype(jnp.float32)) + jnp.sum(seg.astype(jnp.float32))
+                acc = acc + t
+                i = i + (t * 0).astype(i.dtype)  # serialize reps (not folded)
+            return acc
 
+        return fwd
+
+    fwd1, fwdR = make_fwd(1), make_fwd(REPS)
     t0 = time.perf_counter()
-    first = float(fwd(variables_b, ir_b, vis_b))
+    first = float(fwd1(variables_b, ir_b, vis_b))
     log(f"compile+first step: {time.perf_counter() - t0:.1f}s  checksum={first:.3f}")
+    float(fwdR(variables_b, ir_b, vis_b))  # compile the chained body
 
-    times = []
+    t1 = tR = None
     for _ in range(STEPS):
         t0 = time.perf_counter()
-        float(fwd(variables_b, ir_b, vis_b))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+        float(fwd1(variables_b, ir_b, vis_b))
+        t1 = min(t1 or 1e9, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(fwdR(variables_b, ir_b, vis_b))
+        tR = min(tR or 1e9, time.perf_counter() - t0)
+    dt = (tR - t1) / (REPS - 1)  # steady-state ms/batch (overhead cancels)
     pairs_per_sec = BATCH / dt
-    log(f"forward: best {dt * 1e3:.1f} ms/batch of {BATCH} -> {pairs_per_sec:.2f} pairs/s"
-        + (f" ({pairs_per_sec / n_dev:.2f}/chip)" if use_dp else ""))
+    log(
+        f"forward: steady {dt * 1e3:.1f} ms/batch of {BATCH} -> {pairs_per_sec:.2f} pairs/s"
+        f" (single-dispatch {t1 * 1e3:.1f} ms -> {BATCH / t1:.2f} pairs/s incl ~122 ms sync)"
+        + (f" ({pairs_per_sec / n_dev:.2f}/chip)" if use_dp else "")
+    )
 
     # PGD-5 attack throughput (the robust-eval hot loop), diagnostics only
     try:
@@ -152,19 +178,37 @@ def main():
             lambda v, i, s: model_r.apply(v, i, s), AttackConfig(iters=5)
         )
 
-        def run_atk(key):
-            d_ir, d_vis = atk(variables_b, atk_ir, atk_vis, label, key)
-            return float(jnp.sum(d_ir.astype(jnp.float32)) + jnp.sum(d_vis.astype(jnp.float32)))
+        def make_atk_body(reps):
+            @jax.jit
+            def body(v, i, s, lab, key):
+                acc = jnp.float32(0)
+                for r in range(reps):
+                    d_ir, d_vis = atk(v, i, s, lab, jax.random.fold_in(key, r))
+                    t = jnp.sum(d_ir.astype(jnp.float32)) + jnp.sum(d_vis.astype(jnp.float32))
+                    acc = acc + t
+                    i = i + (t * 0).astype(i.dtype)
+                return acc
 
+            return body
+
+        atk1, atk2 = make_atk_body(1), make_atk_body(2)
         t0 = time.perf_counter()
-        run_atk(jax.random.PRNGKey(0))
+        float(atk1(variables_b, atk_ir, atk_vis, label, jax.random.PRNGKey(0)))
         log(f"pgd-5 compile+run: {time.perf_counter() - t0:.1f}s")
-        t0 = time.perf_counter()
-        run_atk(jax.random.PRNGKey(1))
-        dt_atk = time.perf_counter() - t0
+        float(atk2(variables_b, atk_ir, atk_vis, label, jax.random.PRNGKey(0)))
+        ta = tb = None
+        for k in range(2):
+            t0 = time.perf_counter()
+            float(atk1(variables_b, atk_ir, atk_vis, label, jax.random.PRNGKey(k)))
+            ta = min(ta or 1e9, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(atk2(variables_b, atk_ir, atk_vis, label, jax.random.PRNGKey(k)))
+            tb = min(tb or 1e9, time.perf_counter() - t0)
+        dt_atk = tb - ta  # steady-state per-batch (fixed sync overhead cancels)
         log(
-            f"pgd-5: {dt_atk * 1e3:.1f} ms/batch of {ab} -> "
+            f"pgd-5: steady {dt_atk * 1e3:.1f} ms/batch of {ab} -> "
             f"{ab * 5 / dt_atk:.2f} attack steps/s, {ab / dt_atk:.2f} attacked pairs/s"
+            f" (single-dispatch {ta * 1e3:.1f} ms -> {ab / ta:.2f})"
         )
     except Exception as e:  # diagnostics must not sink the headline metric
         log(f"pgd bench skipped: {type(e).__name__}: {e}")

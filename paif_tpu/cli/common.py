@@ -4,9 +4,18 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 from typing import Optional, Tuple
 
 import jax
+
+# Platform escape hatch: this image's sitecustomize pins the axon TPU
+# plugin at interpreter start, and JAX_PLATFORMS env cannot override it.
+# PAIF_PLATFORM=cpu routes the CLIs through jax.config (must happen before
+# any backend touch) — CPU smoke runs and TPU-tunnel outages.
+if os.environ.get("PAIF_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PAIF_PLATFORM"])
+
 import jax.numpy as jnp
 
 from paif_tpu.attack.pgd import AttackConfig

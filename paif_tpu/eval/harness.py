@@ -11,6 +11,7 @@ Only final images (optional) and the 9x9 matrix reach the host.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 from typing import Dict, Optional
 
@@ -137,7 +138,7 @@ def run_eval(model, variables, dataset, cfg: EvalConfig) -> Dict[str, float]:
     step = make_eval_step(model, cfg)
     key = jax.random.PRNGKey(cfg.seed)
 
-    conf_total = np.zeros((cfg.num_classes, cfg.num_classes), dtype=np.int64)
+    conf_dev = None  # device-side running confusion; one host sync at the end
     loader = PrefetchLoader(lambda: batch_iterator(dataset, cfg.batch_size))
     timer = StepTimer(warmup=1)
 
@@ -158,17 +159,43 @@ def run_eval(model, variables, dataset, cfg: EvalConfig) -> Dict[str, float]:
 
     # host decode overlaps via the loader thread; H2D overlaps via the
     # device-prefetch queue (one batch in flight ahead of compute)
+    # A host readback costs ~122 ms of fixed sync latency through the axon
+    # tunnel (measured round 3, scripts/bench_steady_state.py). Accumulating
+    # the per-batch confusion ON DEVICE keeps the loop async — dispatches
+    # pipeline back-to-back and the single sync happens after the last
+    # batch. Saving images forces per-batch transfers, so that path keeps
+    # its natural sync; the timed metric path stays fully pipelined.
+    pairs_timed = 0
+    t_steady = None
     for bidx, ((ir, vis, label, valid), batch) in enumerate(
         device_prefetch(loader, put, depth=2)
     ):
         with timer:
             out = step(variables, ir, vis, label, valid, jax.random.fold_in(key, bidx))
-            conf_total += np.asarray(out["conf"])  # device sync point
-        if cfg.save_dir:
-            _save_outputs(cfg, out, batch["name"], np.asarray(batch["valid"]))
+            conf_dev = out["conf"] if conf_dev is None else conf_dev + out["conf"]
+            if cfg.save_dir:
+                _save_outputs(cfg, out, batch["name"], np.asarray(batch["valid"]))
+        if bidx == 0 and not cfg.save_dir:
+            # Sync once after the first batch (absorbs compile + warmup) via
+            # a scalar readback — block_until_ready is unreliable on the
+            # axon tunnel — then time the rest of the run as one async span.
+            float(jnp.sum(conf_dev.astype(jnp.float32)))
+            t_steady = time.perf_counter()
+        else:
+            pairs_timed += int(label.shape[0])
+    conf_total = (
+        np.asarray(conf_dev).astype(np.int64)  # the single end-of-run sync
+        if conf_dev is not None
+        else np.zeros((cfg.num_classes, cfg.num_classes), dtype=np.int64)
+    )
+    t_end = time.perf_counter()
 
     metrics = summarize(conf_total)
-    if timer.times:
+    if t_steady is not None and pairs_timed:
+        # steady-state throughput: post-warmup batches, pipelined dispatch,
+        # closed by the conf_total transfer above
+        metrics["pairs_per_sec"] = pairs_timed / (t_end - t_steady)
+    elif timer.times:
         metrics["pairs_per_sec"] = cfg.batch_size / timer.mean
     print_report(conf_total, cfg.strategy)
     if cfg.save_dir:

@@ -26,21 +26,65 @@ from paif_tpu.nn.layers import get_precision
 from paif_tpu.ops.pallas.sr_attention import pallas_attention_enabled, sr_attention
 
 
+# Odd minimax-style polynomial for Phi(t) - 0.5 = erf(t/sqrt(2))/2 on
+# [-4, 4] (t clamped outside), fitted with ~relative-error weighting on
+# gelu(x) = x*Phi(x) (scripts: fit in round-3 notes). Max |gelu_poly -
+# gelu_erf| = 7.2e-4; 99.7% of bf16 outputs round identically to exact
+# erf, the rest differ by one final ulp. Horner in t^2: 8 FMAs, no
+# transcendental — ~2x cheaper than XLA's rational erf on the VPU.
+_GELU_COEFS = (
+    3.9893424096e-01,
+    -6.6402491761e-02,
+    9.8319508741e-03,
+    -1.1016040935e-03,
+    8.9346183982e-05,
+    -4.8511240139e-06,
+    1.5456717779e-07,
+    -2.1538970845e-09,
+)
+
+
 def _gelu(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact (erf) GELU, computed in f32.
+    """GELU: exact (erf, f32) on the parity path; polynomial Phi on the
+    bf16 fast path.
 
     Measured on v5e (scripts/bench_ffn.py): erf on a *bf16* tensor sitting
     between the Mix-FFN depthwise conv and the fc2 matmul triggers a
     pathological XLA lowering — the fc1+dwconv+gelu+fc2 chain runs ~6.5x
     slower (7.5 ms vs 1.15 ms net at stage-3 shapes, batch 8). Upcasting
     just the GELU to f32 (or a barrier after the conv) removes it entirely.
-    For f32 inputs the casts are no-ops, so reference parity is unchanged;
-    for bf16 it is also *more* accurate. torch.nn.GELU default is exact erf
-    (mix_transformer.py Mlp), so the tanh approximation is not an option.
+    For f32 inputs the casts are no-ops, so reference parity is unchanged.
+
+    Fast path (bf16 inputs under PAIF_PRECISION=default): GELU is the
+    encoder's single largest VPU cost (~1.5 ms per stage-1 Mix-FFN at B16,
+    scripts/bench_stage1.py — ~860M activations per forward). The
+    polynomial Phi keeps the f32 arithmetic (dodging the bf16-erf
+    lowering) but replaces the ~25-op rational erf with 8 FMAs; the
+    result is within one bf16 ulp of exact erf everywhere (see
+    _GELU_COEFS). torch.nn.GELU default is exact erf (mix_transformer.py
+    Mlp), so the PARITY path must not use tanh/poly approximations.
     """
-    if x.dtype == jnp.float32:
-        return jax.nn.gelu(x, approximate=False)
-    return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+    from paif_tpu.nn.layers import get_precision
+
+    if x.dtype == jnp.float32 or get_precision() != jax.lax.Precision.DEFAULT:
+        # parity semantics (f32 tensors, or PAIF_PRECISION=highest/high
+        # with bf16 data): exact erf in f32.
+        return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+    # Estrin evaluation: the 8-FMA Horner chain is latency-bound on the
+    # VPU and measures as slow as XLA's erf (2.17 vs 2.18 ms at stage-1
+    # B16 shapes); the Estrin regrouping exposes 4-way ILP and runs 1.33
+    # ms vs tanh-form's 1.16 with a tighter error bound (<=1 bf16 ulp vs
+    # 2; 6% vs 16% of outputs off the exact-erf rounding).
+    c = [jnp.float32(v) for v in _GELU_COEFS]
+    xf = x.astype(jnp.float32)
+    t = jnp.clip(xf, -4.0, 4.0)
+    t2 = t * t
+    t4 = t2 * t2
+    t8 = t4 * t4
+    q = (c[0] + c[1] * t2 + t4 * (c[2] + c[3] * t2)) + t8 * (
+        c[4] + c[5] * t2 + t4 * (c[6] + c[7] * t2)
+    )
+    return (xf * (0.5 + t * q)).astype(x.dtype)
 
 
 class DropPath(nn.Module):

@@ -103,9 +103,29 @@ class CellDecom(nn.Module):
     def __call__(
         self, inp_ir: jnp.ndarray, inp_vis: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        import os
+
         c = self.features
-        lf_ir, hf_ir = decompose(inp_ir, self.radius, self.eps_list, self.remat_filter)
-        lf_vis, hf_vis = decompose(inp_vis, self.radius, self.eps_list, self.remat_filter)
+        if os.environ.get("PAIF_DECOM_STACK", "0") not in ("0", "off"):
+            # Batch-stack the two independent per-modality decompositions:
+            # one guided-filter call at 2B instead of two at B. Bit-identical
+            # per-sample, and halves the per-box fixed overheads — but a
+            # measured e2e NEGATIVE on v5e: fusion fwd B16 210.8 ms stacked
+            # vs 122.2 split (scripts/bench_fusion_ab.py, 2026-08-17); the
+            # 2B-wide box intermediates lose more to scheduling than the
+            # halved pass count saves. Default OFF; opt in to re-measure.
+            b = inp_ir.shape[0]
+            lf_s, hf_s = decompose(
+                jnp.concatenate([inp_ir, inp_vis], axis=0),
+                self.radius,
+                self.eps_list,
+                self.remat_filter,
+            )
+            lf_ir, hf_ir = lf_s[:b], hf_s[:b]
+            lf_vis, hf_vis = lf_s[b:], hf_s[b:]
+        else:
+            lf_ir, hf_ir = decompose(inp_ir, self.radius, self.eps_list, self.remat_filter)
+            lf_vis, hf_vis = decompose(inp_vis, self.radius, self.eps_list, self.remat_filter)
         lf = Conv(c, 1, use_bias=True, name="conv1x1_lf")(jnp.concatenate([lf_ir, hf_ir], -1))
         hf = Conv(c, 1, use_bias=True, name="conv1x1_hf")(jnp.concatenate([lf_vis, hf_vis], -1))
         lf_re = CellChain(c, self.chain1_ops, name="chain")(lf, train)

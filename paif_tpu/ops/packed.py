@@ -252,6 +252,14 @@ def box_filter_packed(xp: jnp.ndarray, r: int, allow_pallas: bool = True) -> jnp
         pallas_box_applicable,
     )
 
+    if xp.shape[-1] == 4 and os.environ.get("PAIF_GF_DENSE_GUIDE", "1") not in ("0", "off"):
+        # guide-width (1 original channel): the 4-lane minor dim pads 32x.
+        # Unpack to (B,H,W) with W minor (dense lanes) and run the plain
+        # band matmuls there — exact (same per-axis banded sums).
+        from paif_tpu.ops.guided_filter import _box_dense_c1
+
+        return pack(_box_dense_c1(unpack(xp), r))
+
     if allow_pallas and pallas_box_applicable(xp.shape, r):
         return box_filter_packed_pallas(xp, r)
 

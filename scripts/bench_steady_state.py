@@ -1,0 +1,141 @@
+"""Steady-state (pipelined) throughput sweep: clean joint forward and PGD-5.
+
+Methodology (round-3 finding): a single dispatch through the axon tunnel
+carries ~122 ms of fixed host-sync overhead (measured intercept of the
+reps-vs-time line, scripts output 2026-08-17: reps 1/2/4 = 273/425/728 ms
+at B16 -> slope 151.5, intercept 121.7). Production eval pipelines overlap
+that host latency (or chain batches device-side), so the honest serving
+number is the SLOPE: time a jitted body with R chained reps minus the
+1-rep body, divided by R-1.
+
+Run: python scripts/bench_steady_state.py [--attack]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+os.environ.setdefault("PAIF_PRECISION", "default")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def slope_ms(build_body, args, big_reps=4, iters=3):
+    """(t[big_reps] - t[1]) / (big_reps - 1) in ms.
+
+    `args` are passed through to the jitted body — closing over big arrays
+    would embed them as HLO constants (30-min compiles through the remote
+    helper; learned the hard way)."""
+    ts = {}
+    for reps in (1, big_reps):
+        fn = jax.jit(build_body(reps))
+        float(fn(*args))
+        best = None
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        ts[reps] = best
+    return (ts[big_reps] - ts[1]) / (big_reps - 1) * 1e3, ts[1] * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--attack", action="store_true", help="also sweep the PGD-5 leg")
+    ap.add_argument("--batches", type=int, nargs="*", default=[8, 16, 24])
+    args = ap.parse_args()
+
+    from paif_tpu.genotype import PAIF_GENOTYPE
+    from paif_tpu.models import FusionNetSearched, PAIFJoint
+
+    rng = np.random.default_rng(0)
+    dt = jnp.bfloat16
+    model = PAIFJoint(
+        backbone="mit_b3", num_classes=9, fusion=lambda: FusionNetSearched(32, PAIF_GENOTYPE)
+    )
+    v = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 1), jnp.float32),
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )
+    v = dict(
+        v,
+        params=jax.tree_util.tree_map(
+            lambda x: x.astype(dt) if x.dtype == jnp.float32 else x, v["params"]
+        ),
+    )
+    print(f"devices: {jax.devices()}", flush=True)
+
+    for B in args.batches:
+        ir = jnp.asarray(rng.uniform(0, 1, (B, 480, 640, 1)), dt)
+        vis = jnp.asarray(rng.uniform(0, 1, (B, 480, 640, 3)), dt)
+
+        def build(reps):
+            def body(vv, i, s):
+                acc = jnp.float32(0)
+                for _ in range(reps):
+                    fused, seg = model.apply(vv, i, s)
+                    t = jnp.sum(fused.astype(jnp.float32)) + jnp.sum(seg.astype(jnp.float32))
+                    acc = acc + t
+                    i = i + (t * 0).astype(i.dtype)
+                return acc
+
+            return body
+
+        ms, t1 = slope_ms(build, (v, ir, vis))
+        print(
+            f"clean B{B:2d}: steady {ms:7.1f} ms/batch -> {B / ms * 1e3:6.1f} pairs/s "
+            f"(single-dispatch {t1:.1f} ms -> {B / t1 * 1e3:.1f})",
+            flush=True,
+        )
+
+    if args.attack:
+        from paif_tpu.attack.pgd import AttackConfig, make_attack_both
+
+        model_r = PAIFJoint(
+            backbone="mit_b3",
+            num_classes=9,
+            fusion=lambda: FusionNetSearched(32, PAIF_GENOTYPE),
+            remat=True,
+        )
+        attack = make_attack_both(
+            lambda vv, i, s: model_r.apply(vv, i, s), AttackConfig(iters=5)
+        )
+        for B in args.batches:
+            ir = jnp.asarray(rng.uniform(0, 1, (B, 480, 640, 1)), dt)
+            vis = jnp.asarray(rng.uniform(0, 1, (B, 480, 640, 3)), dt)
+            label = jnp.asarray(rng.integers(0, 9, (B, 480, 640)), jnp.int32)
+
+            def build(reps):
+                def body(vv, i, s, lab, key):
+                    acc = jnp.float32(0)
+                    for r in range(reps):
+                        ir_a, vis_a = attack(vv, i, s, lab, jax.random.fold_in(key, r))
+                        t = jnp.sum(ir_a.astype(jnp.float32)) + jnp.sum(vis_a.astype(jnp.float32))
+                        acc = acc + t
+                        i = i + (t * 0).astype(i.dtype)
+                    return acc
+
+                return body
+
+            try:
+                ms, t1 = slope_ms(build, (v, ir, vis, label, jax.random.PRNGKey(1)), big_reps=2)
+                print(
+                    f"pgd5 B{B:2d}: steady {ms:7.1f} ms/batch -> {B / ms * 1e3:6.2f} attacked "
+                    f"pairs/s (single-dispatch {t1:.1f} -> {B / t1 * 1e3:.2f})",
+                    flush=True,
+                )
+            except Exception as e:
+                print(f"pgd5 B{B:2d}: FAILED {type(e).__name__}: {str(e).splitlines()[0][:100]}")
+
+
+if __name__ == "__main__":
+    main()
