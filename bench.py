@@ -26,7 +26,11 @@ import numpy as np
 # clean forward 13.59 s/pair (0.0736 pairs/s); PGD-5 attack 513 s/pair.
 BASELINE_PAIRS_PER_SEC = 0.0736
 
-BATCH = 32  # packed-layout curve on v5e: B16 55.7 / B24 59.1 / B32 60.4 pairs/s
+# Steady-state (slope) pairs/s on v5e: B8 91.8 / B16 ~105 — the old B32
+# default only looked best because single-dispatch timing amortized the
+# ~122 ms fixed host-sync overhead over more pairs (see round-3 notes in
+# docs/PERF.md; scripts/bench_steady_state.py reproduces the sweep).
+BATCH = 16
 # Attack leg: full encoder remat at batch 16 is the measured optimum of the
 # round-3 re-sweep (scripts/bench_pgd.py): no-remat b16 OOMs with the
 # analytic-VJP residuals; remat_filter variants (False/b16 4.74, False/b24
@@ -57,6 +61,8 @@ def main():
     ap.add_argument("--batch", type=int, default=None, help="per-device batch size")
     args = ap.parse_args()
 
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +74,13 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
-    global BATCH, ATTACK_BATCH  # noqa: PLW0603
+    global BATCH, ATTACK_BATCH, H, W  # noqa: PLW0603
+    # PAIF_BENCH_SMOKE=1: tiny shapes so the bench SCRIPT (timing plumbing,
+    # JSON contract) is testable off-chip; numbers are meaningless there.
+    smoke = bool(os.environ.get("PAIF_BENCH_SMOKE"))
+    if smoke:
+        H, W = 64, 64
+        BATCH, ATTACK_BATCH = 2, 2
     n_dev = len(jax.devices())
     use_dp = args.dp or n_dev > 1
     per_chip = args.batch or BATCH
@@ -133,21 +145,29 @@ def main():
 
         return fwd
 
-    fwd1, fwdR = make_fwd(1), make_fwd(REPS)
+    reps = 2 if smoke else REPS
+    steps = 1 if smoke else STEPS
+    fwd1, fwdR = make_fwd(1), make_fwd(reps)
     t0 = time.perf_counter()
     first = float(fwd1(variables_b, ir_b, vis_b))
     log(f"compile+first step: {time.perf_counter() - t0:.1f}s  checksum={first:.3f}")
     float(fwdR(variables_b, ir_b, vis_b))  # compile the chained body
 
     t1 = tR = None
-    for _ in range(STEPS):
+    for _ in range(steps):
         t0 = time.perf_counter()
         float(fwd1(variables_b, ir_b, vis_b))
         t1 = min(t1 or 1e9, time.perf_counter() - t0)
         t0 = time.perf_counter()
         float(fwdR(variables_b, ir_b, vis_b))
         tR = min(tR or 1e9, time.perf_counter() - t0)
-    dt = (tR - t1) / (REPS - 1)  # steady-state ms/batch (overhead cancels)
+    dt = (tR - t1) / (reps - 1)  # steady-state ms/batch (overhead cancels)
+    if dt <= 0:
+        # a tunnel hiccup on the chained body can make the difference
+        # non-positive; fall back to the (overhead-laden, conservative)
+        # single-dispatch time rather than emitting a garbage headline
+        log(f"steady-state slope non-positive ({dt * 1e3:.1f} ms) — using single-dispatch")
+        dt = t1
     pairs_per_sec = BATCH / dt
     log(
         f"forward: steady {dt * 1e3:.1f} ms/batch of {BATCH} -> {pairs_per_sec:.2f} pairs/s"
@@ -175,7 +195,7 @@ def main():
             remat=True,
         )
         atk = make_attack_both(
-            lambda v, i, s: model_r.apply(v, i, s), AttackConfig(iters=5)
+            lambda v, i, s: model_r.apply(v, i, s), AttackConfig(iters=1 if smoke else 5)
         )
 
         def make_atk_body(reps):
@@ -191,25 +211,36 @@ def main():
 
             return body
 
-        atk1, atk2 = make_atk_body(1), make_atk_body(2)
+        atk1 = make_atk_body(1)
         t0 = time.perf_counter()
         float(atk1(variables_b, atk_ir, atk_vis, label, jax.random.PRNGKey(0)))
         log(f"pgd-5 compile+run: {time.perf_counter() - t0:.1f}s")
-        float(atk2(variables_b, atk_ir, atk_vis, label, jax.random.PRNGKey(0)))
-        ta = tb = None
-        for k in range(2):
+        if smoke:
+            # plumbing check only: skip the second (chained) attack body —
+            # its compile dominates the off-chip smoke run
             t0 = time.perf_counter()
-            float(atk1(variables_b, atk_ir, atk_vis, label, jax.random.PRNGKey(k)))
-            ta = min(ta or 1e9, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            float(atk2(variables_b, atk_ir, atk_vis, label, jax.random.PRNGKey(k)))
-            tb = min(tb or 1e9, time.perf_counter() - t0)
-        dt_atk = tb - ta  # steady-state per-batch (fixed sync overhead cancels)
-        log(
-            f"pgd-5: steady {dt_atk * 1e3:.1f} ms/batch of {ab} -> "
-            f"{ab * 5 / dt_atk:.2f} attack steps/s, {ab / dt_atk:.2f} attacked pairs/s"
-            f" (single-dispatch {ta * 1e3:.1f} ms -> {ab / ta:.2f})"
-        )
+            float(atk1(variables_b, atk_ir, atk_vis, label, jax.random.PRNGKey(1)))
+            dt_atk = time.perf_counter() - t0
+        else:
+            atk2 = make_atk_body(2)
+            float(atk2(variables_b, atk_ir, atk_vis, label, jax.random.PRNGKey(0)))
+            ta = tb = None
+            for k in range(2):
+                t0 = time.perf_counter()
+                float(atk1(variables_b, atk_ir, atk_vis, label, jax.random.PRNGKey(k)))
+                ta = min(ta or 1e9, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                float(atk2(variables_b, atk_ir, atk_vis, label, jax.random.PRNGKey(k)))
+                tb = min(tb or 1e9, time.perf_counter() - t0)
+            dt_atk = tb - ta  # steady-state per-batch (fixed sync overhead cancels)
+            if dt_atk <= 0:
+                log("attack slope non-positive — using single-dispatch")
+                dt_atk = ta
+            log(
+                f"pgd-5: steady {dt_atk * 1e3:.1f} ms/batch of {ab} -> "
+                f"{ab * 5 / dt_atk:.2f} attack steps/s, {ab / dt_atk:.2f} attacked pairs/s"
+                f" (single-dispatch {ta * 1e3:.1f} ms -> {ab / ta:.2f})"
+            )
     except Exception as e:  # diagnostics must not sink the headline metric
         log(f"pgd bench skipped: {type(e).__name__}: {e}")
 

@@ -12,9 +12,14 @@ import jax
 # Platform escape hatch: this image's sitecustomize pins the axon TPU
 # plugin at interpreter start, and JAX_PLATFORMS env cannot override it.
 # PAIF_PLATFORM=cpu routes the CLIs through jax.config (must happen before
-# any backend touch) — CPU smoke runs and TPU-tunnel outages.
+# any backend touch) — CPU smoke runs and TPU-tunnel outages. Pair with
+# PAIF_CPU_DEVICES=8 to get the virtual CPU mesh (tests/conftest.py
+# style) so the mesh-DP CLI paths actually shard instead of silently
+# running single-device.
 if os.environ.get("PAIF_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["PAIF_PLATFORM"])
+    if os.environ.get("PAIF_CPU_DEVICES"):
+        jax.config.update("jax_num_cpu_devices", int(os.environ["PAIF_CPU_DEVICES"]))
 
 import jax.numpy as jnp
 

@@ -82,6 +82,10 @@ def make_eval_step(model, cfg: EvalConfig):
         # padded rows must not pollute the confusion matrix
         masked_label = jnp.where(valid[:, None, None], label, 255)
         conf = confusion_matrix(masked_label, pred, cfg.num_classes)
+        if cfg.save_dir is None:
+            # metric-only runs: image outputs would be dead compute AND pin
+            # ~100 MB/batch of HBM per in-flight step in the async loop
+            return {"conf": conf}
         return {
             "conf": conf,
             "pred": pred,
@@ -167,6 +171,8 @@ def run_eval(model, variables, dataset, cfg: EvalConfig) -> Dict[str, float]:
     # its natural sync; the timed metric path stays fully pipelined.
     pairs_timed = 0
     t_steady = None
+    flush_every = None  # set from the first batch's pixel count
+    conf_host = np.zeros((cfg.num_classes, cfg.num_classes), dtype=np.int64)
     for bidx, ((ir, vis, label, valid), batch) in enumerate(
         device_prefetch(loader, put, depth=2)
     ):
@@ -175,6 +181,13 @@ def run_eval(model, variables, dataset, cfg: EvalConfig) -> Dict[str, float]:
             conf_dev = out["conf"] if conf_dev is None else conf_dev + out["conf"]
             if cfg.save_dir:
                 _save_outputs(cfg, out, batch["name"], np.asarray(batch["valid"]))
+        if bidx == 0:
+            # The device confusion is int32 (jnp.bincount): a single cell
+            # overflows after ~2^31 pixels. Flush to the int64 host total
+            # well before that — the flush is also the loop's backpressure
+            # bound (at most `flush_every` dispatches in flight).
+            px = int(np.prod(label.shape))
+            flush_every = max(1, min(64, (2**31 - 1) // (2 * px)))
         if bidx == 0 and not cfg.save_dir:
             # Sync once after the first batch (absorbs compile + warmup) via
             # a scalar readback — block_until_ready is unreliable on the
@@ -183,11 +196,12 @@ def run_eval(model, variables, dataset, cfg: EvalConfig) -> Dict[str, float]:
             t_steady = time.perf_counter()
         else:
             pairs_timed += int(label.shape[0])
-    conf_total = (
-        np.asarray(conf_dev).astype(np.int64)  # the single end-of-run sync
-        if conf_dev is not None
-        else np.zeros((cfg.num_classes, cfg.num_classes), dtype=np.int64)
-    )
+        if flush_every and (bidx + 1) % flush_every == 0:
+            conf_host += np.asarray(conf_dev).astype(np.int64)
+            conf_dev = None
+    if conf_dev is not None:
+        conf_host += np.asarray(conf_dev).astype(np.int64)  # end-of-run sync
+    conf_total = conf_host
     t_end = time.perf_counter()
 
     metrics = summarize(conf_total)

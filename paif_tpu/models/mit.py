@@ -27,11 +27,15 @@ from paif_tpu.ops.pallas.sr_attention import pallas_attention_enabled, sr_attent
 
 
 # Odd minimax-style polynomial for Phi(t) - 0.5 = erf(t/sqrt(2))/2 on
-# [-4, 4] (t clamped outside), fitted with ~relative-error weighting on
-# gelu(x) = x*Phi(x) (scripts: fit in round-3 notes). Max |gelu_poly -
-# gelu_erf| = 7.2e-4; 99.7% of bf16 outputs round identically to exact
-# erf, the rest differ by one final ulp. Horner in t^2: 8 FMAs, no
-# transcendental — ~2x cheaper than XLA's rational erf on the VPU.
+# [-4, 4], fitted with ~relative-error weighting on gelu(x) = x*Phi(x).
+# Outside [-4, 4] the kernel SELECTS the exact asymptotes (x above, 0
+# below) rather than extrapolating the clamp — without the selects the
+# negative tail leaks ~1.6e-4*x linearly. Verified globally on
+# [-30, 30]: max |gelu_poly - gelu_erf| = 7.2e-4 (boundary x~±4; tails
+# 1.3e-4 = |gelu(±4)| itself); on N(0,1.5) activations ~94% of bf16
+# outputs round identically to exact erf and the rest differ by one
+# final ulp. 8 FMAs + 2 selects, no transcendental — ~1.6x cheaper than
+# XLA's rational erf on the VPU (1.33 vs 2.18 ms at stage-1 B16).
 _GELU_COEFS = (
     3.9893424096e-01,
     -6.6402491761e-02,
@@ -64,8 +68,6 @@ def _gelu(x: jnp.ndarray) -> jnp.ndarray:
     _GELU_COEFS). torch.nn.GELU default is exact erf (mix_transformer.py
     Mlp), so the PARITY path must not use tanh/poly approximations.
     """
-    from paif_tpu.nn.layers import get_precision
-
     if x.dtype == jnp.float32 or get_precision() != jax.lax.Precision.DEFAULT:
         # parity semantics (f32 tensors, or PAIF_PRECISION=highest/high
         # with bf16 data): exact erf in f32.
@@ -73,8 +75,7 @@ def _gelu(x: jnp.ndarray) -> jnp.ndarray:
     # Estrin evaluation: the 8-FMA Horner chain is latency-bound on the
     # VPU and measures as slow as XLA's erf (2.17 vs 2.18 ms at stage-1
     # B16 shapes); the Estrin regrouping exposes 4-way ILP and runs 1.33
-    # ms vs tanh-form's 1.16 with a tighter error bound (<=1 bf16 ulp vs
-    # 2; 6% vs 16% of outputs off the exact-erf rounding).
+    # ms vs tanh-form's 1.16 with a tighter error bound.
     c = [jnp.float32(v) for v in _GELU_COEFS]
     xf = x.astype(jnp.float32)
     t = jnp.clip(xf, -4.0, 4.0)
@@ -84,7 +85,10 @@ def _gelu(x: jnp.ndarray) -> jnp.ndarray:
     q = (c[0] + c[1] * t2 + t4 * (c[2] + c[3] * t2)) + t8 * (
         c[4] + c[5] * t2 + t4 * (c[6] + c[7] * t2)
     )
-    return (xf * (0.5 + t * q)).astype(x.dtype)
+    p = xf * (0.5 + t * q)
+    # exact asymptotes outside the fit range (see _GELU_COEFS note)
+    out = jnp.where(xf > 4.0, xf, jnp.where(xf < -4.0, 0.0, p))
+    return out.astype(x.dtype)
 
 
 class DropPath(nn.Module):

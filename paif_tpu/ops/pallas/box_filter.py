@@ -121,21 +121,24 @@ def _pass_kernel(x_ref, o_ref, s_ref, *, axis: int, xor_bit: int, m: int):
     )
 
 
-def _pick_tile(total: int, bytes_per_col: int, budget: int = 1536 * 1024) -> int:
-    """Largest divisor of `total` whose f32 column-slab stays under budget.
+def _pick_tile(total: int, bytes_per_col: int) -> int:
+    """Largest 8-aligned divisor of `total` whose f32 column-slab fits VMEM.
 
     The budget is per VALUE, not per kernel: besides the scratch, Mosaic
     keeps ~6 live f32 temporaries of the same shape (mid/lo/hi + rolls +
-    accumulator), so ~8x this budget of VMEM is actually in play; 1.5 MB
-    keeps the program near 12 MB of the ~16 MB VMEM. (Round-3 regression
-    fix: the 8-align constraint plus a 1 MB budget silently disqualified
-    the flagship W-pass — 240 rows need tile 8 at 1.33 MB — so the kernel
-    fell back to einsum at exactly the shapes it was built for.)
+    accumulator), so ~8x the budget of VMEM is actually in play. Two-stage:
+    prefer the conservative 1 MB budget (~8 MB in play) and only relax to
+    1.5 MB (~12 of the ~16 MB VMEM — validated on-chip at the flagship
+    shapes) when nothing fits at 1 MB. (Round-3 regression fix: the
+    8-align constraint plus a flat 1 MB budget silently disqualified the
+    flagship W-pass — 240 rows need tile 8 at 1.33 MB — so the kernel fell
+    back to einsum at exactly the shapes it was built for.)
     """
-    for t in range(total, 0, -1):
-        # the tile lands in a block's sublane slot: keep it 8-aligned
-        if total % t == 0 and t % 8 == 0 and t * bytes_per_col <= budget:
-            return t
+    for budget in (1024 * 1024, 1536 * 1024):
+        for t in range(total, 0, -1):
+            # the tile lands in a block's sublane slot: keep it 8-aligned
+            if total % t == 0 and t % 8 == 0 and t * bytes_per_col <= budget:
+                return t
     return 0  # nothing fits: caller must fall back to the matmul path
 
 

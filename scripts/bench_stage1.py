@@ -75,10 +75,6 @@ def main():
         lambda v: v.astype(dt) if v.dtype == jnp.float32 else v, t
     )
 
-    def t_module(name, mod, *call_args, x=None, reps=6):
-        v = bf16(mod.init(jax.random.PRNGKey(0), *(call_args + (x[:1],) if False else (x[:1],) + call_args)))
-        return timeit(name, lambda vv, xx: mod.apply(vv, xx, *call_args), v, x, reps=reps)
-
     # patch embed (k7s4 conv 3->64 + LN)
     pe = OverlapPatchEmbed(64, 7, 4)
     v = bf16(pe.init(jax.random.PRNGKey(0), x_img[:1]))

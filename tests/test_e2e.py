@@ -119,6 +119,25 @@ def test_bench_dp_forward_shards_and_matches():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
 
 
+def test_bench_smoke(monkeypatch, capsys):
+    """bench.py's timing plumbing end to end at tiny shapes: the driver runs
+    this script unattended at round end, so a Python error in the (round-3
+    rewritten) steady-state slope path must be caught here, off-chip. Also
+    exercises the --dp branch (8 virtual devices) and the JSON contract."""
+    import sys
+
+    import bench
+
+    monkeypatch.setenv("PAIF_BENCH_SMOKE", "1")
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    data = json.loads(line)
+    assert data["metric"] == "fused_pairs_per_sec"
+    assert data["unit"] == "pairs/s"
+    assert data["value"] > 0 and data["vs_baseline"] > 0
+
+
 def test_train_aat_cli_smoke(tmp_path):
     from paif_tpu.cli.train_aat import main
 
