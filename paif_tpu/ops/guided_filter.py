@@ -248,7 +248,23 @@ def _helpers(packed: bool, src_width: int, guide_width: int, allow_pallas: bool 
 
 
 def _gf_forward(packed, r, eps_list, guide, src, allow_pallas=True):
-    """Returns (outs tuple, residuals) — the shared-moment forward."""
+    """Returns (outs tuple, residuals) — the shared-moment forward.
+
+    On the packed primal path the six src-width box sums run as FUSED
+    multi-tensor Pallas calls (ops/pallas/box_filter.py round-3 kernels):
+    stage A boxes src and guide*src in one pass pair with the product
+    computed in VMEM (the reference's mean_x/mean_xy moments,
+    guided_filter_pytorch GuidedFilter.forward), stage B boxes each eps's
+    (a, b) pair per call. Differentiated paths (allow_pallas=False) keep
+    the einsum boxes — the custom-call fusion barrier loses there.
+    """
+    from paif_tpu.ops.pallas.box_filter import (
+        box_multi_packed_pallas,
+        box_pair_prod_packed_pallas,
+        fused_boxes_applicable,
+        pallas_box_applicable,
+    )
+
     bf, widen, _ = _helpers(packed, src.shape[-1], guide.shape[-1], allow_pallas)
     _, h, w, _ = guide.shape
     n = jnp.asarray(window_counts(2 * h if packed else h, 2 * w if packed else w, r, packed))
@@ -261,15 +277,33 @@ def _gf_forward(packed, r, eps_list, guide, src, allow_pallas=True):
     var_g32 = bf(g32 * g32, r) * inv_n - mean_g32 * mean_g32
     mean_g = widen(mean_g32.astype(src.dtype))
     guide_w = widen(guide)
-    mean_s = bf(src, r) * inv_n_x
-    cov_gs = bf(guide_w * src, r) * inv_n_x - mean_g * mean_s
-    outs = []
-    mean_as = []
+    fused = (
+        packed
+        and allow_pallas
+        and guide_w.shape == src.shape
+        and pallas_box_applicable(src.shape, r)
+        and fused_boxes_applicable(src.shape, r)
+    )
+    if fused:
+        s_s, s_gs = box_pair_prod_packed_pallas(src, guide_w, r)
+        mean_s = s_s * inv_n_x
+        cov_gs = s_gs * inv_n_x - mean_g * mean_s
+    else:
+        mean_s = bf(src, r) * inv_n_x
+        cov_gs = bf(guide_w * src, r) * inv_n_x - mean_g * mean_s
+    a_bs = []
     for eps in eps_list:
         a = cov_gs * widen((1.0 / (var_g32 + eps)).astype(src.dtype))
-        b_ = mean_s - a * mean_g
-        mean_a = bf(a, r) * inv_n_x
-        mean_b = bf(b_, r) * inv_n_x
+        a_bs.extend([a, mean_s - a * mean_g])
+    if fused:
+        boxed = box_multi_packed_pallas(a_bs, r)
+    else:
+        boxed = [bf(t, r) for t in a_bs]
+    outs = []
+    mean_as = []
+    for i in range(len(eps_list)):
+        mean_a = boxed[2 * i] * inv_n_x
+        mean_b = boxed[2 * i + 1] * inv_n_x
         mean_as.append(mean_a)
         outs.append(mean_a * guide_w + mean_b)
     res = (guide, src, mean_g32, var_g32, mean_s, cov_gs, tuple(mean_as))

@@ -86,39 +86,80 @@ def _combine(mid, lo, hi, xor_bit):
     return mid + lo + hi + _xor_roll(u, xor_bit)
 
 
+def _axis_idx(axis: int, start, stop):
+    idx = [slice(None)] * 3
+    idx[axis - 1] = slice(start, stop)
+    return tuple(idx)
+
+
+def _zero_halos(s_ref, *, axis: int, m: int, n: int):
+    """Zero the m halo rows on each side of the pass axis of the scratch.
+
+    The body fill only writes [m, n+m), so across a multi-tensor kernel the
+    halos stay zero after one clearing."""
+    z2 = list(s_ref.shape)
+    z2[axis - 1] = m
+    zeros = jnp.zeros(z2, jnp.float32)
+    s_ref[_axis_idx(axis, 0, m)] = zeros
+    s_ref[_axis_idx(axis, n + m, n + 2 * m)] = zeros
+
+
+def _box_into(src_f32, o_ref, s_ref, *, axis: int, xor_bit: int, m: int, n: int):
+    """Fill the scratch body with src_f32 and write one combined box pass.
+
+    Halos of s_ref must already be zero (see _zero_halos). Tap structure
+    for even radius r = 2m: the 2m-1 central block shifts feed BOTH phases
+    (mid), the extreme shifts -m/+m miss one phase each (lo/hi with the
+    masked xor in _combine)."""
+    s_ref[_axis_idx(axis, m, n + m)] = src_f32
+
+    def sl(start, stop):
+        return s_ref[_axis_idx(axis, start, stop)]
+
+    mid = sl(1, n + 1)
+    for d in range(2, 2 * m):
+        mid = mid + sl(d, n + d)
+    o_ref[0] = _combine(mid, sl(0, n), sl(2 * m, n + 2 * m), xor_bit).astype(o_ref.dtype)
+
+
 def _pass_kernel(x_ref, o_ref, s_ref, *, axis: int, xor_bit: int, m: int):
     """One separable box pass over the full `axis` extent of the block.
 
     x_ref/o_ref: (1, A, B, C4) with the pass axis at position `axis` (1 or
     2); s_ref: f32 scratch with m (= r//2 block) halo rows on each side of
-    that axis. Tap structure for even radius r = 2m: the 2m-1 central
-    block shifts feed BOTH phases (mid), the extreme shifts -m/+m miss one
-    phase each (lo/hi with the masked xor in _combine).
+    that axis.
     """
     n = x_ref.shape[axis]
+    _zero_halos(s_ref, axis=axis, m=m, n=n)
+    _box_into(x_ref[0].astype(jnp.float32), o_ref, s_ref, axis=axis, xor_bit=xor_bit, m=m, n=n)
 
-    def _idx(start, stop):
-        idx = [slice(None)] * 3
-        idx[axis - 1] = slice(start, stop)
-        return tuple(idx)
 
-    def sl(ref, start, stop):
-        return ref[_idx(start, stop)]
+def _multi_pass_kernel(*refs, axis: int, xor_bit: int, m: int, k: int, prod: bool):
+    """Fused multi-tensor box pass sharing ONE f32 scratch sequentially.
 
-    # zero halos, then the body
-    z2 = list(s_ref.shape)
-    z2[axis - 1] = m
-    zeros = jnp.zeros(z2, jnp.float32)
-    s_ref[_idx(0, m)] = zeros
-    s_ref[_idx(n + m, n + 2 * m)] = zeros
-    s_ref[_idx(m, n + m)] = x_ref[0].astype(jnp.float32)
-
-    mid = sl(s_ref, 1, n + 1)
-    for d in range(2, 2 * m):
-        mid = mid + sl(s_ref, d, n + d)
-    o_ref[0] = _combine(mid, sl(s_ref, 0, n), sl(s_ref, 2 * m, n + 2 * m), xor_bit).astype(
-        o_ref.dtype
-    )
+    refs = k input refs, [+ 1 gate ref when prod], k [*2 when prod] output
+    refs, scratch. With prod=True each input x additionally emits
+    box(x * g) with the product computed IN VMEM — the guided filter's
+    stage-A correlation moment never materializes x*g in HBM. Sequential
+    scratch reuse keeps the VMEM footprint ~independent of k (only the
+    double-buffered io blocks grow); the win is shared launch + mask work
+    and back-to-back independent chains for the VPU to overlap.
+    """
+    n_in = k + (1 if prod else 0)
+    xs = refs[:k]
+    g_ref = refs[k] if prod else None
+    outs = refs[n_in : n_in + k * (2 if prod else 1)]
+    s_ref = refs[-1]
+    n = xs[0].shape[axis]
+    _zero_halos(s_ref, axis=axis, m=m, n=n)
+    kw = dict(axis=axis, xor_bit=xor_bit, m=m, n=n)
+    for t in range(k):
+        x = xs[t][0].astype(jnp.float32)
+        if prod:
+            _box_into(x, outs[2 * t], s_ref, **kw)
+            _box_into(x * g_ref[0].astype(jnp.float32), outs[2 * t + 1], s_ref, **kw)
+        else:
+            _box_into(x, outs[t], s_ref, **kw)
 
 
 def _pick_tile(total: int, bytes_per_col: int) -> int:
@@ -190,6 +231,178 @@ def _box_bwd(r, _res, g):
 
 
 _box_vjp.defvjp(_box_fwd, _box_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-tensor boxes (round 3): the guided filter's 6 src-width box
+# sums grouped into shared-launch kernels, with the stage-A product
+# (guide*src) computed in VMEM. Gated by PAIF_FUSED_GF_BOX (see
+# fused_gf_box_enabled) so the e2e effect is A/B-measurable on chip.
+# ---------------------------------------------------------------------------
+
+
+def fused_gf_box_enabled() -> bool:
+    """PAIF_FUSED_GF_BOX gate for the fused guided-filter box path.
+
+    Default OFF until the VMEM model is validated on the real chip (the
+    fused W-pass carries 2x the io blocks of the single kernel; interpret
+    mode cannot catch an overflow). Flip the default once the on-chip A/B
+    (scripts/bench_gf_fused.py) confirms fit + win."""
+    env = os.environ.get("PAIF_FUSED_GF_BOX")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    return False
+
+
+def _pick_tile_fused(total: int, extent: int, c4: int, m: int, n_io: int, io_bytes: int) -> int:
+    """Largest 8-aligned divisor of `total` fitting the fused kernel's VMEM
+    model: one f32 scratch slab (extent+2m rows) + ~6 live f32 temporaries
+    of block size (the sequential per-tensor chain keeps the live set
+    ~independent of k) + the double-buffered io blocks (which DO grow with
+    k). Budgets are two-stage like _pick_tile: prefer headroom, relax once.
+    """
+    for budget in (12 * 2**20, 15 * 2**20):
+        for t in range(total, 0, -1):
+            if total % t or t % 8:
+                continue
+            scratch = (extent + 2 * m) * t * c4 * 4
+            temps = 6 * extent * t * c4 * 4
+            io = 2 * n_io * extent * t * c4 * io_bytes
+            if scratch + temps + io <= budget:
+                return t
+    return 0
+
+
+def _fused_pass(xs, r: int, axis: int, prod: bool):
+    """One fused separable pass over k tensors (+ optional gate as xs[-1])."""
+    k = len(xs) - (1 if prod else 0)
+    n_out = k * (2 if prod else 1)
+    b, hp, wp, c4 = xs[0].shape
+    m = r // 2
+    io_bytes = max(x.dtype.itemsize for x in xs)
+    if axis == 1:
+        tile = _pick_tile_fused(wp, hp, c4, m, len(xs) + n_out, io_bytes)
+        block = (1, hp, tile, c4)
+        index_map = lambda i, j: (i, 0, j, 0)  # noqa: E731
+        grid = (b, wp // tile)
+        scratch = pltpu.VMEM((hp + 2 * m, tile, c4), jnp.float32)
+        xor_bit = 2
+    else:
+        tile = _pick_tile_fused(hp, wp, c4, m, len(xs) + n_out, io_bytes)
+        block = (1, tile, wp, c4)
+        index_map = lambda i, j: (i, j, 0, 0)  # noqa: E731
+        grid = (b, hp // tile)
+        scratch = pltpu.VMEM((tile, wp + 2 * m, c4), jnp.float32)
+        xor_bit = 1
+    spec = pl.BlockSpec(block, index_map)
+    out_shape = [jax.ShapeDtypeStruct(xs[0].shape, xs[0].dtype)] * n_out
+    return pl.pallas_call(
+        functools.partial(_multi_pass_kernel, axis=axis, xor_bit=xor_bit, m=m, k=k, prod=prod),
+        grid=grid,
+        in_specs=[spec] * len(xs),
+        out_specs=[spec] * n_out,
+        out_shape=out_shape,
+        scratch_shapes=[scratch],
+        interpret=jax.default_backend() != "tpu",
+    )(*xs)
+
+
+def _fused_group_size() -> int:
+    """Tensors per fused kernel call (PAIF_FUSED_GF_K, default 2: pairs keep
+    the W-pass io blocks within the VMEM model at flagship shapes)."""
+    return max(1, int(os.environ.get("PAIF_FUSED_GF_K", "2")))
+
+
+def _multi_box_impl(xs, r: int):
+    """Boxes of each tensor, grouped into fused calls of PAIF_FUSED_GF_K."""
+    kmax = _fused_group_size()
+    outs = []
+    for i in range(0, len(xs), kmax):
+        chunk = list(xs[i : i + kmax])
+        h = list(_fused_pass(chunk, r, axis=1, prod=False))
+        outs.extend(_fused_pass(h, r, axis=2, prod=False))
+    return tuple(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _multi_box_vjp(r: int, *xs):
+    return _multi_box_impl(xs, r)
+
+
+def _multi_box_fwd(r, *xs):
+    return _multi_box_impl(xs, r), None
+
+
+def _multi_box_bwd(r, _res, gs):
+    # each box is symmetric (see _box_bwd): bwd = the same multi box
+    return _multi_box_impl(tuple(gs), r)
+
+
+_multi_box_vjp.defvjp(_multi_box_fwd, _multi_box_bwd)
+
+
+def box_multi_packed_pallas(xs, r: int = R):
+    """Clamped box sums of several same-shape packed tensors, fused into
+    shared-launch Pallas pass pairs. Returns a tuple (same order)."""
+    return _multi_box_vjp(r, *xs)
+
+
+def _pair_prod_impl(x, g, r: int):
+    """(box(x), box(x*g)) with the product computed in VMEM (H-pass), then
+    one fused W-pass over both H-passed tensors."""
+    hx, hxg = _fused_pass([x, g], r, axis=1, prod=True)
+    return tuple(_fused_pass([hx, hxg], r, axis=2, prod=False))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pair_prod_vjp(r: int, x, g):
+    return _pair_prod_impl(x, g, r)
+
+
+def _pair_prod_fwd(r, x, g):
+    return _pair_prod_impl(x, g, r), (x, g)
+
+
+def _pair_prod_bwd(r, res, cts):
+    # y0 = B x, y1 = B (x*g), B symmetric: dx = B c0 + g * B c1; dg = x * B c1
+    x, g = res
+    c0, c1 = cts
+    b0, b1 = _multi_box_impl((c0, c1), r)
+    return (b0 + g * b1).astype(x.dtype), (x * b1).astype(g.dtype)
+
+
+_pair_prod_vjp.defvjp(_pair_prod_fwd, _pair_prod_bwd)
+
+
+def box_pair_prod_packed_pallas(x, g, r: int = R):
+    """Fused guided-filter stage-A moments: (box(x), box(x*g)) without ever
+    materializing x*g in HBM (reference moment pair: guided_filter_pytorch
+    GuidedFilter.forward mean_x / mean_xy)."""
+    return _pair_prod_vjp(r, x, g)
+
+
+def fused_boxes_applicable(xp_shape, r: int) -> bool:
+    """Shape/VMEM feasibility of the fused kernels at this tensor shape.
+
+    The largest per-call io ref count at group size k: stage-A prod pass is
+    x + gate in, 2 boxes out (4 refs at k=2); multi chunks are k in, k out.
+    Checks the fused VMEM model for both axes at that worst case.
+    """
+    b, hp, wp, c4 = xp_shape
+    m = r // 2
+    n_io = 2 * max(2, _fused_group_size())
+    return (
+        r in SUPPORTED_R
+        and c4 % 128 == 0
+        and hp % 8 == 0
+        and wp % 8 == 0
+        and hp > 2 * r
+        and wp > 2 * r
+        and _pick_tile_fused(wp, hp, c4, m, n_io, 4) > 0
+        and _pick_tile_fused(hp, wp, c4, m, n_io, 4) > 0
+        and pallas_box_enabled()
+        and fused_gf_box_enabled()
+    )
 
 
 def pallas_box_applicable(xp_shape, r: int) -> bool:

@@ -49,6 +49,8 @@ def main():
         ("dense guide off", {"PAIF_GF_DENSE_GUIDE": "0"}),
         ("pallas box off", {"PAIF_PALLAS_BOX": "0"}),
         ("stack+dense off", {"PAIF_DECOM_STACK": "0", "PAIF_GF_DENSE_GUIDE": "0"}),
+        ("fused GF boxes", {"PAIF_FUSED_GF_BOX": "1"}),
+        ("fused GF boxes K=4", {"PAIF_FUSED_GF_BOX": "1", "PAIF_FUSED_GF_K": "4"}),
     ]
     for name, env in configs:
         saved = {}

@@ -267,3 +267,84 @@ def test_pallas_box_r2_matches_plain(monkeypatch):
     assert pallas_box_applicable(xp.shape, 2)
     got = unpack(box_filter_packed_pallas(xp, 2))
     np.testing.assert_allclose(np.asarray(got), np.asarray(box_filter(x, 2)), atol=1e-4)
+
+
+def test_fused_multi_box_matches_einsum(monkeypatch):
+    """Round-3 fused multi-tensor Pallas boxes (shared-launch pass pairs)
+    == per-tensor einsum band matmuls, odd group tail included."""
+    from paif_tpu.ops.pallas.box_filter import (
+        box_multi_packed_pallas,
+        fused_boxes_applicable,
+    )
+
+    monkeypatch.setenv("PAIF_PALLAS_BOX", "1")
+    monkeypatch.setenv("PAIF_FUSED_GF_BOX", "1")
+    rng = np.random.default_rng(21)
+    for r in (2, 4):
+        xs = [
+            jnp.asarray(rng.normal(size=(2, 32, 48, 32)), jnp.float32) for _ in range(3)
+        ]
+        xps = [pack(x) for x in xs]
+        assert fused_boxes_applicable(xps[0].shape, r)
+        got = box_multi_packed_pallas(xps, r)
+        assert len(got) == 3
+        for g, x in zip(got, xs):
+            np.testing.assert_allclose(
+                np.asarray(unpack(g)), np.asarray(box_filter(x, r)), rtol=1e-4, atol=1e-4
+            )
+
+
+def test_fused_pair_prod_box_matches_einsum(monkeypatch):
+    """Stage-A fusion: (box(x), box(x*g)) with the product computed in VMEM
+    — values and gradients vs the einsum formulation."""
+    from paif_tpu.ops.pallas.box_filter import box_pair_prod_packed_pallas
+
+    monkeypatch.setenv("PAIF_PALLAS_BOX", "1")
+    monkeypatch.setenv("PAIF_FUSED_GF_BOX", "1")
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 32)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2, 32, 48, 32)), jnp.float32)
+    xp, gp = pack(x), pack(g)
+    s_x, s_xg = box_pair_prod_packed_pallas(xp, gp, 4)
+    np.testing.assert_allclose(
+        np.asarray(unpack(s_x)), np.asarray(box_filter(x, 4)), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(unpack(s_xg)), np.asarray(box_filter(x * g, 4)), rtol=1e-4, atol=1e-4
+    )
+
+    def loss_fused(a, b):
+        y0, y1 = box_pair_prod_packed_pallas(a, b, 4)
+        return jnp.sum(y0 * y1)
+
+    def loss_ref(a, b):
+        y0 = box_filter_packed(a, 4, allow_pallas=False)
+        y1 = box_filter_packed(a * b, 4, allow_pallas=False)
+        return jnp.sum(y0 * y1)
+
+    gf_ = jax.grad(loss_fused, argnums=(0, 1))(xp, gp)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(xp, gp)
+    for a, b in zip(gf_, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-2)
+
+
+def test_guided_filter_fused_boxes_match(monkeypatch):
+    """guided_filter_multi_eps primal with the fused Pallas boxes ==
+    the einsum-only path (f32), including the Cell_Decom two-eps config."""
+    from paif_tpu.ops.guided_filter import guided_filter_multi_eps
+    from paif_tpu.ops.packed import packed_mode
+
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 48, 32)), jnp.float32)
+    g = jnp.max(x, -1, keepdims=True) - jnp.min(x, -1, keepdims=True)
+    xp, gp = pack(x), pack(g)
+
+    monkeypatch.setenv("PAIF_PALLAS_BOX", "0")
+    with packed_mode(True):
+        want = guided_filter_multi_eps(gp, xp, 4, (1e-3, 1e-4))
+    monkeypatch.setenv("PAIF_PALLAS_BOX", "1")
+    monkeypatch.setenv("PAIF_FUSED_GF_BOX", "1")
+    with packed_mode(True):
+        got = guided_filter_multi_eps(gp, xp, 4, (1e-3, 1e-4))
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
