@@ -310,15 +310,31 @@ def _gf_forward(packed, r, eps_list, guide, src, allow_pallas=True):
     return tuple(outs), res
 
 
+def pallas_box_diff_enabled() -> bool:
+    """PAIF_PALLAS_BOX_DIFF=1: let the DIFFERENTIATED guided-filter paths
+    (custom-vjp fwd + analytic bwd — the PGD/AAT hot loop) use the fused
+    Pallas box kernels instead of einsum band matmuls. Default OFF: the
+    round-2 A/B (single-tensor kernels) measured einsum faster end to end
+    (5.36 vs 5.0 attacked pairs/s); the round-3 fused kernels change the
+    economics (3 shared launches + in-VMEM product per direction), so this
+    knob exists to re-measure on chip before flipping."""
+    return os.environ.get("PAIF_PALLAS_BOX_DIFF", "0") not in ("0", "false", "off")
+
+
 def _gf_backward(packed, r, eps_list, res, cots):
     """Analytic VJP: 6 src-width box sums + 2 guide-width, zero recompute.
 
-    Einsum boxes throughout: inside the big differentiated graph the MXU
-    form fuses with the surrounding elementwise chains; the Pallas kernel
-    does not.
+    Einsum boxes by default: inside the big differentiated graph the MXU
+    form fuses with the surrounding elementwise chains. With
+    PAIF_PALLAS_BOX_DIFF the six src-width sums run as 3 fused Pallas pass
+    pairs (the per-eps (d_a, d_b) cotangent sums are all available at once,
+    and the final (d_cov, d_ms) pair likewise).
     """
+    from paif_tpu.ops.pallas.box_filter import box_multi_packed_pallas, fused_boxes_applicable
+
     guide, src, mean_g32, var_g32, mean_s, cov_gs, mean_as = res
-    bf, widen, unwiden = _helpers(packed, src.shape[-1], guide.shape[-1], allow_pallas=False)
+    allow = pallas_box_diff_enabled()
+    bf, widen, unwiden = _helpers(packed, src.shape[-1], guide.shape[-1], allow_pallas=allow)
     _, h, w, _ = guide.shape
     dt = src.dtype
     n = jnp.asarray(window_counts(2 * h if packed else h, 2 * w if packed else w, r, packed))
@@ -326,18 +342,24 @@ def _gf_backward(packed, r, eps_list, res, cots):
     inv_n_x = widen(inv_n).astype(dt)
     mean_g = widen(mean_g32.astype(dt))
     guide_w = widen(guide)
+    fused = packed and allow and fused_boxes_applicable(src.shape, r)
+    box_group = (
+        (lambda ts: box_multi_packed_pallas(ts, r)) if fused else (lambda ts: [bf(t, r) for t in ts])
+    )
 
     d_gw = jnp.zeros_like(guide_w)
     d_ms = jnp.zeros_like(mean_s)
     d_mgx = jnp.zeros_like(mean_g)
     d_cov = jnp.zeros_like(cov_gs)
     d_var = jnp.zeros_like(var_g32)
-    for eps, ybar, mean_a in zip(eps_list, cots, mean_as):
+    # all per-eps cotangent pre-products exist up front: box them together
+    boxed = box_group([t for ybar in cots for t in (ybar * guide_w * inv_n_x, ybar * inv_n_x)])
+    for i, (eps, ybar, mean_a) in enumerate(zip(eps_list, cots, mean_as)):
         k = widen((1.0 / (var_g32 + eps)).astype(dt))
         a = cov_gs * k
         d_gw = d_gw + ybar * mean_a
-        d_a = bf(ybar * guide_w * inv_n_x, r)  # through mean_a = bf(a)*inv_n
-        d_b = bf(ybar * inv_n_x, r)  # through mean_b = bf(b)*inv_n
+        d_a = boxed[2 * i]  # through mean_a = bf(a)*inv_n
+        d_b = boxed[2 * i + 1]  # through mean_b = bf(b)*inv_n
         # b = mean_s - a*mean_g
         d_ms = d_ms + d_b
         d_a = d_a - d_b * mean_g
@@ -345,14 +367,13 @@ def _gf_backward(packed, r, eps_list, res, cots):
         # a = cov * k
         d_cov = d_cov + d_a * k
         d_var = d_var - unwiden((d_a * cov_gs * k * k).astype(jnp.float32))
-    # cov = bf(gw*src)*inv_n - mean_g*mean_s
-    d_t = bf(d_cov * inv_n_x, r)
+    # cov = bf(gw*src)*inv_n - mean_g*mean_s ; mean_s = bf(src)*inv_n
+    d_ms_f = d_ms - d_cov * mean_g
+    d_t, d_s2 = box_group([d_cov * inv_n_x, d_ms_f * inv_n_x])
     d_gw = d_gw + d_t * src
     d_src = d_t * guide_w
     d_mgx = d_mgx - d_cov * mean_s
-    d_ms = d_ms - d_cov * mean_g
-    # mean_s = bf(src)*inv_n
-    d_src = d_src + bf(d_ms * inv_n_x, r)
+    d_src = d_src + d_s2
     # mean_g (widened, dt) <- mean_g32 (f32)
     d_m32 = unwiden(d_mgx.astype(jnp.float32))
     # var = bf(g32^2)*inv_n - mean_g32^2
@@ -373,9 +394,10 @@ def _gf_vjp(packed, r, eps_list, guide, src):
 
 
 def _gf_fwd(packed, r, eps_list, guide, src):
-    # Only reached when the filter is being differentiated: use the einsum
-    # boxes so XLA can fuse the fwd into the surrounding gradient graph.
-    return _gf_forward(packed, r, eps_list, guide, src, allow_pallas=False)
+    # Only reached when the filter is being differentiated: einsum boxes by
+    # default so XLA can fuse the fwd into the surrounding gradient graph;
+    # PAIF_PALLAS_BOX_DIFF routes this too through the fused Pallas kernels.
+    return _gf_forward(packed, r, eps_list, guide, src, allow_pallas=pallas_box_diff_enabled())
 
 
 _gf_vjp.defvjp(_gf_fwd, _gf_backward)

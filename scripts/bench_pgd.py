@@ -41,7 +41,18 @@ def main():
         help="checkpoint the guided-filter split (drop its residuals in "
         "the backward; the robust-CLI/AAT memory mode)",
     )
+    ap.add_argument(
+        "--env",
+        default=None,
+        help="comma list of K=V env toggles applied before tracing, e.g. "
+        "'PAIF_PALLAS_BOX_DIFF=1,PAIF_FUSED_GF_BOX=1' (round-3 fused "
+        "boxes inside the differentiated attack graph)",
+    )
     args = ap.parse_args()
+    if args.env:
+        for kv in args.env.split(","):
+            k, _, v = kv.partition("=")
+            os.environ[k.strip()] = v.strip()
 
     from paif_tpu.attack.pgd import AttackConfig, make_attack_both
     from paif_tpu.genotype import PAIF_GENOTYPE

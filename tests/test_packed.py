@@ -348,3 +348,30 @@ def test_guided_filter_fused_boxes_match(monkeypatch):
         got = guided_filter_multi_eps(gp, xp, 4, (1e-3, 1e-4))
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_guided_filter_diff_knob_fused_bwd(monkeypatch):
+    """PAIF_PALLAS_BOX_DIFF: the differentiated guided-filter paths routed
+    through the fused Pallas kernels == the einsum analytic VJP."""
+    from paif_tpu.ops.guided_filter import guided_filter_multi_eps
+    from paif_tpu.ops.packed import packed_mode
+
+    rng = np.random.default_rng(31)
+    eps_list = (1e-3, 1e-4)
+    guide = jnp.asarray(rng.uniform(0, 1, (2, 16, 24, 4)), jnp.float32)
+    src = jnp.asarray(rng.uniform(0, 1, (2, 16, 24, 128)), jnp.float32)
+    cot = [jnp.asarray(rng.normal(size=src.shape), jnp.float32) for _ in eps_list]
+
+    def loss(g, s):
+        with packed_mode(True):
+            outs = guided_filter_multi_eps(g, s, 4, eps_list)
+        return sum(jnp.sum(o * c) for o, c in zip(outs, cot))
+
+    monkeypatch.setenv("PAIF_PALLAS_BOX_DIFF", "0")
+    want = jax.grad(loss, argnums=(0, 1))(guide, src)
+    monkeypatch.setenv("PAIF_PALLAS_BOX", "1")
+    monkeypatch.setenv("PAIF_FUSED_GF_BOX", "1")
+    monkeypatch.setenv("PAIF_PALLAS_BOX_DIFF", "1")
+    got = jax.grad(loss, argnums=(0, 1))(guide, src)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3)
