@@ -51,15 +51,15 @@ class SmallConv2d(nn.Module):
     """Stride-1 'same' conv with the same parameter tree as nn.Conv
     ('kernel' HWIO + optional 'bias').
 
-    Dispatch, in priority order:
+    Dispatch:
       * packed layout (ops/packed.py): when the fusion branch runs in 2x2
         space-to-depth form, the input is (B,H/2,W/2,4*c_in) and the conv
         executes as a scattered-kernel conv with 128 unpadded lanes. The
         parameter tree is UNCHANGED (kernel stays (k,k,c_in,features)).
-      * Pallas small-channel kernel (ops/pallas/small_conv.py) when enabled
-        and profitable (opt-in via PAIF_PALLAS_CONV=1 — wins isolated 7x7
-        but regresses the full graph).
       * lax.conv on plain NHWC otherwise.
+    (The round-1 tap-stacked Pallas small-channel kernel was deleted in
+    round 3 — subsumed by the packed layout + zconv research; its Mosaic
+    pitfall notes live on in docs/MOSAIC.md.)
     """
 
     features: int
@@ -71,7 +71,6 @@ class SmallConv2d(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from paif_tpu.ops.packed import conv_same_packed, is_packed
-        from paif_tpu.ops.pallas.small_conv import conv2d_same_small, pallas_conv_enabled
 
         k = self.kernel_size
         packed = is_packed()
@@ -84,17 +83,8 @@ class SmallConv2d(nn.Module):
         )
         if kernel.dtype != x.dtype:
             kernel = kernel.astype(x.dtype)
-        use_pallas = (
-            not packed
-            and self.groups == 1
-            and pallas_conv_enabled()
-            and max(c_in, self.features) <= 64
-            and k >= 5
-        )
         if packed:
             y = conv_same_packed(x, kernel, self.dilation, groups=self.groups)
-        elif use_pallas:
-            y = conv2d_same_small(x, kernel, self.dilation)
         else:
             pad = conv_padding(k, self.dilation)
             y = jax.lax.conv_general_dilated(

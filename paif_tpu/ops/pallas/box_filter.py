@@ -23,7 +23,7 @@ Design:
     VPU, zero MXU FLOPs.
   * f32 VMEM scratch with zeroed 2-row halos; shifted reads slice the
     scratch ref (f32 — bf16 sublane-offset slices miscompile, see
-    small_conv.py notes).
+    docs/MOSAIC.md).
   * VJP: the clamped box operator is symmetric (band matrix B = B^T, and
     (Bh ∘ Bw)^T = Bw ∘ Bh = same op), so the backward pass IS the kernel.
 

@@ -15,7 +15,7 @@ This kernel fuses them: each program DMAs an input tile (+halo) into VMEM
 (double-buffered across the linearized grid), builds the z tile with
 phase-selects (row shifts are free leading-dim slices; col shifts are f32
 sublane ROLLS — bf16 sublane-offset slices miscompile and bf16 rotates are
-unimplemented, see small_conv.py and the v1-v4 history in git), and
+unimplemented, see docs/MOSAIC.md and the v1-v4 history in git), and
 contracts the ka*ka taps as MXU matmuls with f32 accumulation.
 
 Measured end state: the z construction costs ~5 VPU passes no matter the
