@@ -282,13 +282,20 @@ def _fused_pass(xs, r: int, axis: int, prod: bool):
     io_bytes = max(x.dtype.itemsize for x in xs)
     if axis == 1:
         tile = _pick_tile_fused(wp, hp, c4, m, len(xs) + n_out, io_bytes)
+    else:
+        tile = _pick_tile_fused(hp, wp, c4, m, len(xs) + n_out, io_bytes)
+    if tile == 0:
+        raise ValueError(
+            f"fused box pass infeasible at shape {xs[0].shape} (axis {axis}, "
+            f"{len(xs) + n_out} io refs) — gate callers on fused_boxes_applicable"
+        )
+    if axis == 1:
         block = (1, hp, tile, c4)
         index_map = lambda i, j: (i, 0, j, 0)  # noqa: E731
         grid = (b, wp // tile)
         scratch = pltpu.VMEM((hp + 2 * m, tile, c4), jnp.float32)
         xor_bit = 2
     else:
-        tile = _pick_tile_fused(hp, wp, c4, m, len(xs) + n_out, io_bytes)
         block = (1, tile, wp, c4)
         index_map = lambda i, j: (i, j, 0, 0)  # noqa: E731
         grid = (b, hp // tile)

@@ -51,6 +51,7 @@ def main():
         ("stack+dense off", {"PAIF_DECOM_STACK": "0", "PAIF_GF_DENSE_GUIDE": "0"}),
         ("fused GF boxes", {"PAIF_FUSED_GF_BOX": "1"}),
         ("fused GF boxes K=4", {"PAIF_FUSED_GF_BOX": "1", "PAIF_FUSED_GF_K": "4"}),
+        ("fused + decom stack", {"PAIF_FUSED_GF_BOX": "1", "PAIF_DECOM_STACK": "1"}),
     ]
     for name, env in configs:
         saved = {}
