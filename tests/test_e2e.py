@@ -329,3 +329,25 @@ def test_search_cli_perception_aware(tmp_path):
     for chain in ("normal_1", "normal_2", "normal_3"):
         for op in g.ops(chain):
             parse_op_string(op)
+
+
+def test_robust_cli_fused_diff_boxes(tmp_path, monkeypatch):
+    """Round-3 fused Pallas GF boxes, primal AND differentiated (the
+    PAIF_PALLAS_BOX_DIFF attack-graph knob), through the full robust CLI at
+    a packed-applicable width (fusion_channels 32 -> 128 packed lanes) —
+    keeps the opt-in path green off-chip (interpret mode)."""
+    from paif_tpu.cli.robust_test import main
+
+    cfgp = tmp_path / "tiny32.yaml"
+    cfgp.write_text(
+        "model:\n  backbone: mit_b0\n  num_classes: 9\n  fusion_channels: 32\n"
+        "dataset:\n  batch_size: 2\n  image_hw: [64, 64]\n"
+        "  synthetic: true\n  synthetic_n: 2\n"
+    )
+    monkeypatch.setenv("PAIF_PALLAS_BOX", "1")
+    monkeypatch.setenv("PAIF_FUSED_GF_BOX", "1")
+    monkeypatch.setenv("PAIF_PALLAS_BOX_DIFF", "1")
+    metrics = main(
+        ["--config", str(cfgp), "--save_dir", str(tmp_path), "--attack_iters", "1"]
+    )
+    assert 0.0 <= metrics["iou_mean"] <= 1.0
