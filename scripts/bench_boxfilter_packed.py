@@ -172,6 +172,33 @@ def main():
     print(f"grad P vs plain: max err {float(jnp.max(jnp.abs(gg - ge))):.2e}")
 
     timeit("P pallas packed box", box_filter_packed_pallas, xp)
+
+    # round-3 fused kernels: 2/4 tensors per launch, and the stage-A
+    # product pair (box(x), box(x*g)) vs two boxes + XLA product
+    import os
+
+    from paif_tpu.ops.pallas.box_filter import (
+        box_multi_packed_pallas,
+        box_pair_prod_packed_pallas,
+    )
+
+    os.environ["PAIF_FUSED_GF_BOX"] = "1"
+    gate = pack((jnp.max(x, -1, keepdims=True) - jnp.min(x, -1, keepdims=True)).astype(x.dtype))
+    gate_w = jnp.tile(gate, (1, 1, 1, C))
+    # NB: extra tensors ride as explicit args — closing over a 157 MB array
+    # embeds it as an HLO constant (30-min remote compiles, see CLAUDE.md)
+    timeit("M2 fused pair (2 boxes/launch)", lambda t: box_multi_packed_pallas((t, t + 1), R)[0], xp)
+    os.environ["PAIF_FUSED_GF_K"] = "4"
+    timeit("M4 fused quad (4 boxes/launch)", lambda t: box_multi_packed_pallas((t, t + 1, t + 2, t + 3), R)[0], xp)
+    os.environ["PAIF_FUSED_GF_K"] = "2"
+    timeit("PP prod pair box(x),box(x*g) fused", lambda t, g: box_pair_prod_packed_pallas(t, g, R)[0], xp, gate_w)
+    timeit(
+        "PP unfused: 2x pallas box + XLA prod",
+        lambda t, g: box_filter_packed_pallas(t) + box_filter_packed_pallas(t * g),
+        xp,
+        gate_w,
+    )
+
     timeit("A band-einsum packed (current)", lambda t: box_filter_packed(t, R), xp)
     timeit("F in-layout shift-add + phase mix", variant_f, xp)
     timeit("B separable dense packed conv", variant_b, xp)
