@@ -320,15 +320,36 @@ def _fused_group_size() -> int:
     return max(1, int(os.environ.get("PAIF_FUSED_GF_K", "2")))
 
 
-def _multi_box_impl(xs, r: int):
-    """Boxes of each tensor, grouped into fused calls of PAIF_FUSED_GF_K."""
-    kmax = _fused_group_size()
+def _pass_tile(shape, r: int, axis: int, n_io: int, io_bytes: int) -> int:
+    b, hp, wp, c4 = shape
+    m = r // 2
+    if axis == 1:
+        return _pick_tile_fused(wp, hp, c4, m, n_io, io_bytes)
+    return _pick_tile_fused(hp, wp, c4, m, n_io, io_bytes)
+
+
+def _chunked_pass(xs, r: int, axis: int):
+    """One separable pass over all tensors, greedily grouped into the
+    largest VMEM-feasible fused calls (<= PAIF_FUSED_GF_K). The two passes
+    may legitimately land at different group sizes — the W-pass slab
+    (full-W extent) is bigger than the H-pass one at flagship aspect
+    ratios. k=1 chunks still run (same structure as the validated single
+    kernel, one extra io ref pair of headroom)."""
+    io_bytes = max(x.dtype.itemsize for x in xs)
     outs = []
-    for i in range(0, len(xs), kmax):
-        chunk = list(xs[i : i + kmax])
-        h = list(_fused_pass(chunk, r, axis=1, prod=False))
-        outs.extend(_fused_pass(h, r, axis=2, prod=False))
-    return tuple(outs)
+    i = 0
+    while i < len(xs):
+        k = min(_fused_group_size(), len(xs) - i)
+        while k > 1 and _pass_tile(xs[0].shape, r, axis, 2 * k, io_bytes) == 0:
+            k -= 1
+        outs.extend(_fused_pass(list(xs[i : i + k]), r, axis, prod=False))
+        i += k
+    return outs
+
+
+def _multi_box_impl(xs, r: int):
+    """Boxes of each tensor, fused into shared-launch calls per pass."""
+    return tuple(_chunked_pass(_chunked_pass(xs, r, axis=1), r, axis=2))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -356,9 +377,12 @@ def box_multi_packed_pallas(xs, r: int = R):
 
 def _pair_prod_impl(x, g, r: int):
     """(box(x), box(x*g)) with the product computed in VMEM (H-pass), then
-    one fused W-pass over both H-passed tensors."""
+    one fused W-pass over both H-passed tensors. Falls back to single
+    kernels + a materialized product when the prod pass does not fit."""
+    if _pass_tile(x.shape, r, 1, 4, x.dtype.itemsize) == 0:
+        return _box_fwd_impl(x, r), _box_fwd_impl((x * g).astype(x.dtype), r)
     hx, hxg = _fused_pass([x, g], r, axis=1, prod=True)
-    return tuple(_fused_pass([hx, hxg], r, axis=2, prod=False))
+    return tuple(_chunked_pass([hx, hxg], r, axis=2))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -391,13 +415,11 @@ def box_pair_prod_packed_pallas(x, g, r: int = R):
 def fused_boxes_applicable(xp_shape, r: int) -> bool:
     """Shape/VMEM feasibility of the fused kernels at this tensor shape.
 
-    The largest per-call io ref count at group size k: stage-A prod pass is
-    x + gate in, 2 boxes out (4 refs at k=2); multi chunks are k in, k out.
-    Checks the fused VMEM model for both axes at that worst case.
+    Only the k=1 VMEM model must fit (2 io refs per pass) — the chunked
+    dispatch shrinks group sizes per pass to whatever fits, and the prod
+    pass has its own materialized-product fallback.
     """
     b, hp, wp, c4 = xp_shape
-    m = r // 2
-    n_io = 2 * max(2, _fused_group_size())
     return (
         r in SUPPORTED_R
         and c4 % 128 == 0
@@ -405,8 +427,8 @@ def fused_boxes_applicable(xp_shape, r: int) -> bool:
         and wp % 8 == 0
         and hp > 2 * r
         and wp > 2 * r
-        and _pick_tile_fused(wp, hp, c4, m, n_io, 4) > 0
-        and _pick_tile_fused(hp, wp, c4, m, n_io, 4) > 0
+        and _pass_tile(xp_shape, r, 1, 2, 4) > 0
+        and _pass_tile(xp_shape, r, 2, 2, 4) > 0
         and pallas_box_enabled()
         and fused_gf_box_enabled()
     )
