@@ -376,3 +376,26 @@ def test_guided_filter_diff_knob_fused_bwd(monkeypatch):
     got = jax.grad(loss, argnums=(0, 1))(guide, src)
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3)
+
+
+def test_box_applicability_at_flagship_shapes(monkeypatch):
+    """Guard against the round-3 regression class: the Pallas/fused paths
+    silently disqualifying themselves at exactly the flagship shapes
+    ((16,240,320,128) packed src, r=4). Pure shape/VMEM math — no compute."""
+    from paif_tpu.ops.pallas.box_filter import (
+        _pass_tile,
+        fused_boxes_applicable,
+        pallas_box_applicable,
+    )
+
+    monkeypatch.setenv("PAIF_PALLAS_BOX", "1")
+    monkeypatch.setenv("PAIF_FUSED_GF_BOX", "1")
+    shape = (16, 240, 320, 128)
+    assert pallas_box_applicable(shape, 4)
+    assert fused_boxes_applicable(shape, 4)
+    # the stage-A prod pass (4 io refs, bf16) must fit fused on the H axis
+    assert _pass_tile(shape, 4, 1, 4, 2) > 0
+    # and the W-pass must still fit PAIRS (the design group size) in bf16
+    assert _pass_tile(shape, 4, 2, 4, 2) > 0
+    # r=2 (fast-GF case) at the quarter-res shape
+    assert pallas_box_applicable((16, 120, 160, 128), 2)
