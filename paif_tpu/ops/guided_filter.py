@@ -247,7 +247,7 @@ def _helpers(packed: bool, src_width: int, guide_width: int, allow_pallas: bool 
     return bf, widen, unwiden
 
 
-def _gf_forward(packed, r, eps_list, guide, src, allow_pallas=True):
+def _gf_forward(packed, r, eps_list, guide, src, allow_pallas=True, diff_fused=False):
     """Returns (outs tuple, residuals) — the shared-moment forward.
 
     On the packed primal path the six src-width box sums run as FUSED
@@ -255,8 +255,11 @@ def _gf_forward(packed, r, eps_list, guide, src, allow_pallas=True):
     stage A boxes src and guide*src in one pass pair with the product
     computed in VMEM (the reference's mean_x/mean_xy moments,
     guided_filter_pytorch GuidedFilter.forward), stage B boxes each eps's
-    (a, b) pair per call. Differentiated paths (allow_pallas=False) keep
-    the einsum boxes — the custom-call fusion barrier loses there.
+    (a, b) pair per call. Differentiated paths default to the einsum boxes
+    (the custom-call fusion barrier loses there); diff_fused=True (the
+    PAIF_PALLAS_BOX_DIFF knob) opts the differentiated forward into the
+    FUSED kernels specifically — never the single-tensor ones, whose
+    in-graph config is a known measured regression.
     """
     from paif_tpu.ops.pallas.box_filter import (
         box_multi_packed_pallas,
@@ -279,10 +282,10 @@ def _gf_forward(packed, r, eps_list, guide, src, allow_pallas=True):
     guide_w = widen(guide)
     fused = (
         packed
-        and allow_pallas
+        and (allow_pallas or diff_fused)
         and guide_w.shape == src.shape
         and pallas_box_applicable(src.shape, r)
-        and fused_boxes_applicable(src.shape, r)
+        and fused_boxes_applicable(src.shape, r, ignore_env=diff_fused)
     )
     if fused:
         s_s, s_gs = box_pair_prod_packed_pallas(src, guide_w, r)
@@ -330,11 +333,16 @@ def _gf_backward(packed, r, eps_list, res, cots):
     pairs (the per-eps (d_a, d_b) cotangent sums are all available at once,
     and the final (d_cov, d_ms) pair likewise).
     """
-    from paif_tpu.ops.pallas.box_filter import box_multi_packed_pallas, fused_boxes_applicable
+    from paif_tpu.ops.pallas.box_filter import (
+        box_multi_packed_pallas,
+        fused_boxes_applicable,
+        pallas_box_applicable,
+    )
 
     guide, src, mean_g32, var_g32, mean_s, cov_gs, mean_as = res
-    allow = pallas_box_diff_enabled()
-    bf, widen, unwiden = _helpers(packed, src.shape[-1], guide.shape[-1], allow_pallas=allow)
+    # einsum boxes for anything not fused — the single-tensor Pallas kernel
+    # inside a differentiated graph is a known measured regression
+    bf, widen, unwiden = _helpers(packed, src.shape[-1], guide.shape[-1], allow_pallas=False)
     _, h, w, _ = guide.shape
     dt = src.dtype
     n = jnp.asarray(window_counts(2 * h if packed else h, 2 * w if packed else w, r, packed))
@@ -342,7 +350,12 @@ def _gf_backward(packed, r, eps_list, res, cots):
     inv_n_x = widen(inv_n).astype(dt)
     mean_g = widen(mean_g32.astype(dt))
     guide_w = widen(guide)
-    fused = packed and allow and fused_boxes_applicable(src.shape, r)
+    fused = (
+        packed
+        and pallas_box_diff_enabled()
+        and pallas_box_applicable(src.shape, r)
+        and fused_boxes_applicable(src.shape, r, ignore_env=True)
+    )
     box_group = (
         (lambda ts: box_multi_packed_pallas(ts, r)) if fused else (lambda ts: [bf(t, r) for t in ts])
     )
@@ -396,8 +409,11 @@ def _gf_vjp(packed, r, eps_list, guide, src):
 def _gf_fwd(packed, r, eps_list, guide, src):
     # Only reached when the filter is being differentiated: einsum boxes by
     # default so XLA can fuse the fwd into the surrounding gradient graph;
-    # PAIF_PALLAS_BOX_DIFF routes this too through the fused Pallas kernels.
-    return _gf_forward(packed, r, eps_list, guide, src, allow_pallas=pallas_box_diff_enabled())
+    # PAIF_PALLAS_BOX_DIFF routes this too through the FUSED Pallas kernels
+    # (never the single-tensor ones — see _gf_forward docstring).
+    return _gf_forward(
+        packed, r, eps_list, guide, src, allow_pallas=False, diff_fused=pallas_box_diff_enabled()
+    )
 
 
 _gf_vjp.defvjp(_gf_fwd, _gf_backward)

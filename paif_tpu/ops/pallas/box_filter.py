@@ -273,6 +273,14 @@ def _pick_tile_fused(total: int, extent: int, c4: int, m: int, n_io: int, io_byt
     return 0
 
 
+def _pass_tile(shape, r: int, axis: int, n_io: int, io_bytes: int) -> int:
+    b, hp, wp, c4 = shape
+    m = r // 2
+    if axis == 1:
+        return _pick_tile_fused(wp, hp, c4, m, n_io, io_bytes)
+    return _pick_tile_fused(hp, wp, c4, m, n_io, io_bytes)
+
+
 def _fused_pass(xs, r: int, axis: int, prod: bool):
     """One fused separable pass over k tensors (+ optional gate as xs[-1])."""
     k = len(xs) - (1 if prod else 0)
@@ -280,10 +288,7 @@ def _fused_pass(xs, r: int, axis: int, prod: bool):
     b, hp, wp, c4 = xs[0].shape
     m = r // 2
     io_bytes = max(x.dtype.itemsize for x in xs)
-    if axis == 1:
-        tile = _pick_tile_fused(wp, hp, c4, m, len(xs) + n_out, io_bytes)
-    else:
-        tile = _pick_tile_fused(hp, wp, c4, m, len(xs) + n_out, io_bytes)
+    tile = _pass_tile(xs[0].shape, r, axis, len(xs) + n_out, io_bytes)
     if tile == 0:
         raise ValueError(
             f"fused box pass infeasible at shape {xs[0].shape} (axis {axis}, "
@@ -318,14 +323,6 @@ def _fused_group_size() -> int:
     """Tensors per fused kernel call (PAIF_FUSED_GF_K, default 2: pairs keep
     the W-pass io blocks within the VMEM model at flagship shapes)."""
     return max(1, int(os.environ.get("PAIF_FUSED_GF_K", "2")))
-
-
-def _pass_tile(shape, r: int, axis: int, n_io: int, io_bytes: int) -> int:
-    b, hp, wp, c4 = shape
-    m = r // 2
-    if axis == 1:
-        return _pick_tile_fused(wp, hp, c4, m, n_io, io_bytes)
-    return _pick_tile_fused(hp, wp, c4, m, n_io, io_bytes)
 
 
 def _chunked_pass(xs, r: int, axis: int):
@@ -379,7 +376,7 @@ def _pair_prod_impl(x, g, r: int):
     """(box(x), box(x*g)) with the product computed in VMEM (H-pass), then
     one fused W-pass over both H-passed tensors. Falls back to single
     kernels + a materialized product when the prod pass does not fit."""
-    if _pass_tile(x.shape, r, 1, 4, x.dtype.itemsize) == 0:
+    if _pass_tile(x.shape, r, 1, 4, max(x.dtype.itemsize, g.dtype.itemsize)) == 0:
         return _box_fwd_impl(x, r), _box_fwd_impl((x * g).astype(x.dtype), r)
     hx, hxg = _fused_pass([x, g], r, axis=1, prod=True)
     return tuple(_chunked_pass([hx, hxg], r, axis=2))
@@ -412,12 +409,18 @@ def box_pair_prod_packed_pallas(x, g, r: int = R):
     return _pair_prod_vjp(r, x, g)
 
 
-def fused_boxes_applicable(xp_shape, r: int) -> bool:
+def fused_boxes_applicable(xp_shape, r: int, ignore_env: bool = False) -> bool:
     """Shape/VMEM feasibility of the fused kernels at this tensor shape.
 
     Only the k=1 VMEM model must fit (2 io refs per pass) — the chunked
     dispatch shrinks group sizes per pass to whatever fits, and the prod
     pass has its own materialized-product fallback.
+
+    ignore_env: skip the PAIF_FUSED_GF_BOX opt-in (used by the
+    differentiated paths, whose own knob PAIF_PALLAS_BOX_DIFF is the
+    opt-in there — the single-tensor-kernel-in-diff-graph config is a
+    known measured regression and is deliberately unreachable).
+    PAIF_PALLAS_BOX=0 stays a global kill switch either way.
     """
     b, hp, wp, c4 = xp_shape
     return (
@@ -430,7 +433,7 @@ def fused_boxes_applicable(xp_shape, r: int) -> bool:
         and _pass_tile(xp_shape, r, 1, 2, 4) > 0
         and _pass_tile(xp_shape, r, 2, 2, 4) > 0
         and pallas_box_enabled()
-        and fused_gf_box_enabled()
+        and (ignore_env or fused_gf_box_enabled())
     )
 
 

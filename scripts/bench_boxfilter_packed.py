@@ -37,29 +37,39 @@ R = 4
 K = 2 * R + 1
 
 
-def timeit(name, fn, *args, iters=4, reps=5):
-    def body(*a):
-        acc = jnp.float32(0)
-        x = a[0]
-        for _ in range(reps):
-            out = fn(x, *a[1:])
-            s = jnp.sum(out.astype(jnp.float32))
-            acc = acc + s
-            x = x + (s * 0).astype(x.dtype)
-        return acc
+def timeit(name, fn, *args, iters=4, reps_lo=2, reps_hi=7):
+    """Steady-state ms/call: slope of wall time vs chained in-jit reps —
+    total/reps carries ~(fixed dispatch)/reps ms of bias, which is ~100%
+    relative error on these ~3-10 ms kernels (CLAUDE.md, round-3 method)."""
 
-    red = jax.jit(body)
+    def make(reps):
+        def body(*a):
+            acc = jnp.float32(0)
+            x = a[0]
+            for _ in range(reps):
+                out = fn(x, *a[1:])
+                s = jnp.sum(out.astype(jnp.float32))
+                acc = acc + s
+                x = x + (s * 0).astype(x.dtype)
+            return acc
+
+        return jax.jit(body)
+
+    lo, hi = make(reps_lo), make(reps_hi)
     try:
-        float(red(*args))
+        float(lo(*args)), float(hi(*args))
     except Exception as e:
         print(f"{name:44s} FAILED {type(e).__name__}: {str(e).splitlines()[0][:120]}")
         return
-    ts = []
+    tlo = thi = None
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(red(*args))
-        ts.append(time.perf_counter() - t0)
-    print(f"{name:44s} {min(ts) / reps * 1e3:8.2f} ms", flush=True)
+        float(lo(*args))
+        tlo = min(tlo or 1e9, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(hi(*args))
+        thi = min(thi or 1e9, time.perf_counter() - t0)
+    print(f"{name:44s} {(thi - tlo) / (reps_hi - reps_lo) * 1e3:8.2f} ms", flush=True)
 
 
 def variant_b(xp):

@@ -370,8 +370,9 @@ def test_guided_filter_diff_knob_fused_bwd(monkeypatch):
 
     monkeypatch.setenv("PAIF_PALLAS_BOX_DIFF", "0")
     want = jax.grad(loss, argnums=(0, 1))(guide, src)
+    # the diff knob alone must select the FUSED kernels (PAIF_FUSED_GF_BOX
+    # gates only the primal path; single-kernel-in-diff is unreachable)
     monkeypatch.setenv("PAIF_PALLAS_BOX", "1")
-    monkeypatch.setenv("PAIF_FUSED_GF_BOX", "1")
     monkeypatch.setenv("PAIF_PALLAS_BOX_DIFF", "1")
     got = jax.grad(loss, argnums=(0, 1))(guide, src)
     for a, b in zip(got, want):
