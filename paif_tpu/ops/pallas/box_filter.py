@@ -134,32 +134,43 @@ def _pass_kernel(x_ref, o_ref, s_ref, *, axis: int, xor_bit: int, m: int):
     _box_into(x_ref[0].astype(jnp.float32), o_ref, s_ref, axis=axis, xor_bit=xor_bit, m=m, n=n)
 
 
-def _multi_pass_kernel(*refs, axis: int, xor_bit: int, m: int, k: int, prod: bool):
-    """Fused multi-tensor box pass sharing ONE f32 scratch sequentially.
+def _multi_pass_kernel(
+    *refs, axis: int, xor_bit: int, m: int, k: int, prod: bool, n_scratch: int = 1
+):
+    """Fused multi-tensor box pass through 1..n_out f32 scratches.
 
     refs = k input refs, [+ 1 gate ref when prod], k [*2 when prod] output
-    refs, scratch. With prod=True each input x additionally emits
-    box(x * g) with the product computed IN VMEM — the guided filter's
-    stage-A correlation moment never materializes x*g in HBM. Sequential
-    scratch reuse keeps the VMEM footprint ~independent of k (only the
-    double-buffered io blocks grow); the win is shared launch + mask work
-    and back-to-back independent chains for the VPU to overlap.
+    refs, n_scratch scratch refs. With prod=True each input x additionally
+    emits box(x * g) with the product computed IN VMEM — the guided
+    filter's stage-A correlation moment never materializes x*g in HBM.
+
+    Scratch modes (PAIF_FUSED_GF_SCRATCH): one shared scratch reused
+    sequentially keeps VMEM ~independent of k but serializes the streams
+    (WAR hazard: stream t+1's fill waits on stream t's reads); per-output
+    scratches ('per') cost n_out slabs and let the compiler overlap one
+    stream's fill (VPU copy/cast) with another's combine (rolls + adds).
     """
     n_in = k + (1 if prod else 0)
     xs = refs[:k]
     g_ref = refs[k] if prod else None
-    outs = refs[n_in : n_in + k * (2 if prod else 1)]
-    s_ref = refs[-1]
+    n_out = k * (2 if prod else 1)
+    outs = refs[n_in : n_in + n_out]
+    s_refs = refs[n_in + n_out :]
     n = xs[0].shape[axis]
-    _zero_halos(s_ref, axis=axis, m=m, n=n)
+    for s_ref in s_refs:
+        _zero_halos(s_ref, axis=axis, m=m, n=n)
     kw = dict(axis=axis, xor_bit=xor_bit, m=m, n=n)
+
+    def scratch(j):
+        return s_refs[j % len(s_refs)]
+
     for t in range(k):
         x = xs[t][0].astype(jnp.float32)
         if prod:
-            _box_into(x, outs[2 * t], s_ref, **kw)
-            _box_into(x * g_ref[0].astype(jnp.float32), outs[2 * t + 1], s_ref, **kw)
+            _box_into(x, outs[2 * t], scratch(2 * t), **kw)
+            _box_into(x * g_ref[0].astype(jnp.float32), outs[2 * t + 1], scratch(2 * t + 1), **kw)
         else:
-            _box_into(x, outs[t], s_ref, **kw)
+            _box_into(x, outs[t], scratch(t), **kw)
 
 
 def _pick_tile(total: int, bytes_per_col: int) -> int:
@@ -254,18 +265,27 @@ def fused_gf_box_enabled() -> bool:
     return False
 
 
-def _pick_tile_fused(total: int, extent: int, c4: int, m: int, n_io: int, io_bytes: int) -> int:
+def _scratch_per_output() -> bool:
+    """PAIF_FUSED_GF_SCRATCH=per: one scratch slab per output stream (ILP
+    experiment — see _multi_pass_kernel); default: one shared slab."""
+    return os.environ.get("PAIF_FUSED_GF_SCRATCH", "shared") == "per"
+
+
+def _pick_tile_fused(
+    total: int, extent: int, c4: int, m: int, n_io: int, io_bytes: int, n_scratch: int = 1
+) -> int:
     """Largest 8-aligned divisor of `total` fitting the fused kernel's VMEM
-    model: one f32 scratch slab (extent+2m rows) + ~6 live f32 temporaries
-    of block size (the sequential per-tensor chain keeps the live set
-    ~independent of k) + the double-buffered io blocks (which DO grow with
-    k). Budgets are two-stage like _pick_tile: prefer headroom, relax once.
+    model: n_scratch f32 scratch slabs (extent+2m rows) + ~6 live f32
+    temporaries of block size (the sequential per-tensor chain keeps the
+    live set ~independent of k) + the double-buffered io blocks (which DO
+    grow with k). Budgets are two-stage like _pick_tile: prefer headroom,
+    relax once.
     """
     for budget in (12 * 2**20, 15 * 2**20):
         for t in range(total, 0, -1):
             if total % t or t % 8:
                 continue
-            scratch = (extent + 2 * m) * t * c4 * 4
+            scratch = n_scratch * (extent + 2 * m) * t * c4 * 4
             temps = 6 * extent * t * c4 * 4
             io = 2 * n_io * extent * t * c4 * io_bytes
             if scratch + temps + io <= budget:
@@ -273,12 +293,16 @@ def _pick_tile_fused(total: int, extent: int, c4: int, m: int, n_io: int, io_byt
     return 0
 
 
-def _pass_tile(shape, r: int, axis: int, n_io: int, io_bytes: int) -> int:
+def _pass_tile(shape, r: int, axis: int, n_io: int, io_bytes: int, n_scratch: int = 1) -> int:
     b, hp, wp, c4 = shape
     m = r // 2
     if axis == 1:
-        return _pick_tile_fused(wp, hp, c4, m, n_io, io_bytes)
-    return _pick_tile_fused(hp, wp, c4, m, n_io, io_bytes)
+        return _pick_tile_fused(wp, hp, c4, m, n_io, io_bytes, n_scratch)
+    return _pick_tile_fused(hp, wp, c4, m, n_io, io_bytes, n_scratch)
+
+
+def _n_scratch_for(n_out: int) -> int:
+    return n_out if _scratch_per_output() else 1
 
 
 def _fused_pass(xs, r: int, axis: int, prod: bool):
@@ -288,7 +312,11 @@ def _fused_pass(xs, r: int, axis: int, prod: bool):
     b, hp, wp, c4 = xs[0].shape
     m = r // 2
     io_bytes = max(x.dtype.itemsize for x in xs)
-    tile = _pass_tile(xs[0].shape, r, axis, len(xs) + n_out, io_bytes)
+    n_scratch = _n_scratch_for(n_out)
+    tile = _pass_tile(xs[0].shape, r, axis, len(xs) + n_out, io_bytes, n_scratch)
+    if tile == 0 and n_scratch > 1:
+        n_scratch = 1  # per-output scratches don't fit: shared slab
+        tile = _pass_tile(xs[0].shape, r, axis, len(xs) + n_out, io_bytes, 1)
     if tile == 0:
         raise ValueError(
             f"fused box pass infeasible at shape {xs[0].shape} (axis {axis}, "
@@ -309,12 +337,20 @@ def _fused_pass(xs, r: int, axis: int, prod: bool):
     spec = pl.BlockSpec(block, index_map)
     out_shape = [jax.ShapeDtypeStruct(xs[0].shape, xs[0].dtype)] * n_out
     return pl.pallas_call(
-        functools.partial(_multi_pass_kernel, axis=axis, xor_bit=xor_bit, m=m, k=k, prod=prod),
+        functools.partial(
+            _multi_pass_kernel,
+            axis=axis,
+            xor_bit=xor_bit,
+            m=m,
+            k=k,
+            prod=prod,
+            n_scratch=n_scratch,
+        ),
         grid=grid,
         in_specs=[spec] * len(xs),
         out_specs=[spec] * n_out,
         out_shape=out_shape,
-        scratch_shapes=[scratch],
+        scratch_shapes=[scratch] * n_scratch,
         interpret=jax.default_backend() != "tpu",
     )(*xs)
 

@@ -77,6 +77,10 @@ def main():
             "pallas fused K=4",
             {"PAIF_PALLAS_BOX": "1", "PAIF_FUSED_GF_BOX": "1", "PAIF_FUSED_GF_K": "4"},
         ),
+        (
+            "pallas fused per-scratch",
+            {"PAIF_PALLAS_BOX": "1", "PAIF_FUSED_GF_BOX": "1", "PAIF_FUSED_GF_SCRATCH": "per"},
+        ),
     ]
     for name, env in configs:
         saved = {k: os.environ.get(k) for k in env}

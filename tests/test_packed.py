@@ -280,6 +280,7 @@ def test_fused_multi_box_matches_einsum(monkeypatch):
     monkeypatch.setenv("PAIF_PALLAS_BOX", "1")
     monkeypatch.setenv("PAIF_FUSED_GF_BOX", "1")
     monkeypatch.setenv("PAIF_FUSED_GF_K", "4")  # chunks shrink per pass to fit VMEM
+    monkeypatch.setenv("PAIF_FUSED_GF_SCRATCH", "per")  # ILP scratch mode
     rng = np.random.default_rng(21)
     for r in (2, 4):
         xs = [
