@@ -28,29 +28,38 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def timeit(name, fn, *args, iters=4, reps=5):
-    def body(*a):
-        acc = jnp.float32(0)
-        x = a[0]
-        for _ in range(reps):
-            out = fn(x, *a[1:])
-            s = sum(jnp.sum(t.astype(jnp.float32)) for t in jax.tree_util.tree_leaves(out))
-            acc = acc + s
-            x = x + (s * 0).astype(x.dtype)
-        return acc
+def timeit(name, fn, *args, iters=4, reps_lo=2, reps_hi=7):
+    """Steady-state ms/call via the reps slope (total/reps carries
+    ~(fixed dispatch)/reps ms of bias — CLAUDE.md round-3 method)."""
 
-    red = jax.jit(body)
+    def make(reps):
+        def body(*a):
+            acc = jnp.float32(0)
+            x = a[0]
+            for _ in range(reps):
+                out = fn(x, *a[1:])
+                s = sum(jnp.sum(t.astype(jnp.float32)) for t in jax.tree_util.tree_leaves(out))
+                acc = acc + s
+                x = x + (s * 0).astype(x.dtype)
+            return acc
+
+        return jax.jit(body)
+
+    lo, hi = make(reps_lo), make(reps_hi)
     try:
-        float(red(*args))
+        float(lo(*args)), float(hi(*args))
     except Exception as e:
         print(f"{name:44s} FAILED {type(e).__name__}: {str(e).splitlines()[0][:120]}")
         return None
-    ts = []
+    tlo = thi = None
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(red(*args))
-        ts.append(time.perf_counter() - t0)
-    ms = min(ts) * 1e3 / reps
+        float(lo(*args))
+        tlo = min(tlo or 1e9, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(hi(*args))
+        thi = min(thi or 1e9, time.perf_counter() - t0)
+    ms = (thi - tlo) / (reps_hi - reps_lo) * 1e3
     print(f"{name:44s} {ms:8.2f} ms", flush=True)
     return ms
 
