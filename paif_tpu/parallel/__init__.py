@@ -1,5 +1,6 @@
-"""Device-mesh parallelism: sharding helpers for data-parallel eval/train."""
+"""Device-mesh parallelism: DP sharding helpers, TP shardings, 2-stage PP."""
 
+from paif_tpu.parallel.pp import make_pp_forward
 from paif_tpu.parallel.tp import make_2d_mesh, shard_params_tp
 from paif_tpu.parallel.mesh import (
     make_mesh,

@@ -1,0 +1,39 @@
+"""Pipeline parallelism: 2-stage GPipe forward over a (data, pp) mesh ==
+the single-device joint forward (f32, tiny shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from paif_tpu.models import FusionNetSearched, PAIFJoint
+from paif_tpu.parallel.pp import make_pp_forward
+
+
+def _mesh_2x2():
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 devices")
+    return Mesh(np.asarray(devs[:4]).reshape(2, 2), axis_names=("data", "pp"))
+
+
+def test_pp_forward_matches_single_device():
+    model = PAIFJoint(
+        backbone="mit_b0", num_classes=9, fusion=lambda: FusionNetSearched(8)
+    )
+    rng = np.random.default_rng(0)
+    ir = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 1)), jnp.float32)
+    vis = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), ir[:1], vis[:1])
+
+    fused_ref, seg_ref = model.apply(variables, ir, vis)
+
+    mesh = _mesh_2x2()
+    # global batch 8 = 2 data shards x 2 microbatches x mb 2
+    pp_fwd = make_pp_forward(model, mesh, microbatches=2)
+    with mesh:
+        fused_pp, seg_pp = jax.jit(pp_fwd)(variables, ir, vis)
+
+    np.testing.assert_allclose(np.asarray(fused_pp), np.asarray(fused_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(seg_pp), np.asarray(seg_ref), rtol=2e-4, atol=2e-4)
