@@ -351,3 +351,20 @@ def test_robust_cli_fused_diff_boxes(tmp_path, monkeypatch):
         ["--config", str(cfgp), "--save_dir", str(tmp_path), "--attack_iters", "1"]
     )
     assert 0.0 <= metrics["iou_mean"] <= 1.0
+
+
+def test_all_config_presets_load():
+    """Every shipped YAML preset round-trips through the config schema
+    (the reference ships 5 configs: voc / voc_fusion / voc_fusionrm /
+    voc_methods / vocnas — mapped to mfnet_b3 / fusion_train_b3 /
+    tiny_b0-or-crop-variants / methods_b3 / search_b0)."""
+    import glob
+
+    from paif_tpu.utils.config import load_config
+
+    presets = sorted(glob.glob(os.path.join(os.path.dirname(TINY), "*.yaml")))
+    assert len(presets) >= 5
+    for p in presets:
+        cfg = load_config(p)
+        assert cfg.model.backbone.startswith("mit_b")
+        assert cfg.dataset.batch_size >= 1 and cfg.train.max_iters >= 1
