@@ -32,6 +32,10 @@ run pgd_base python scripts/bench_pgd.py --configs True:16
 run pgd_fused python scripts/bench_pgd.py --configs True:16,01:16,False:16 \
   --env PAIF_PALLAS_BOX_DIFF=1,PAIF_FUSED_GF_BOX=1
 
+# 5b. same at the winning remat scope with per-output scratches (ILP mode)
+run pgd_fused_per python scripts/bench_pgd.py --configs True:16 \
+  --env PAIF_PALLAS_BOX_DIFF=1,PAIF_FUSED_GF_BOX=1,PAIF_FUSED_GF_SCRATCH=per
+
 # 6. Headline bench (shipped defaults)
 run bench python bench.py
 
