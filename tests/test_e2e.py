@@ -357,13 +357,14 @@ def test_all_config_presets_load():
     """Every shipped YAML preset round-trips through the config schema
     (the reference ships 5 configs: voc / voc_fusion / voc_fusionrm /
     voc_methods / vocnas — mapped to mfnet_b3 / fusion_train_b3 /
-    tiny_b0-or-crop-variants / methods_b3 / search_b0)."""
+    fusion_train_rm_b3 / methods_b3 / search_b0; tiny_b0 is the CI
+    smoke preset)."""
     import glob
 
     from paif_tpu.utils.config import load_config
 
     presets = sorted(glob.glob(os.path.join(os.path.dirname(TINY), "*.yaml")))
-    assert len(presets) >= 5
+    assert len(presets) >= 6
     for p in presets:
         cfg = load_config(p)
         assert cfg.model.backbone.startswith("mit_b")
