@@ -18,7 +18,8 @@ def _mesh_2x2():
     return Mesh(np.asarray(devs[:4]).reshape(2, 2), axis_names=("data", "pp"))
 
 
-def test_pp_forward_matches_single_device():
+@pytest.mark.parametrize("microbatches", [1, 2])
+def test_pp_forward_matches_single_device(microbatches):
     model = PAIFJoint(
         backbone="mit_b0", num_classes=9, fusion=lambda: FusionNetSearched(8)
     )
@@ -30,8 +31,8 @@ def test_pp_forward_matches_single_device():
     fused_ref, seg_ref = model.apply(variables, ir, vis)
 
     mesh = _mesh_2x2()
-    # global batch 8 = 2 data shards x 2 microbatches x mb 2
-    pp_fwd = make_pp_forward(model, mesh, microbatches=2)
+    # global batch 8 = 2 data shards x microbatches x mb
+    pp_fwd = make_pp_forward(model, mesh, microbatches=microbatches)
     with mesh:
         fused_pp, seg_pp = jax.jit(pp_fwd)(variables, ir, vis)
 
