@@ -64,6 +64,11 @@ def main():
     import os
 
     import jax
+
+    # PAIF_PLATFORM=cpu: off-chip smoke runs on images whose sitecustomize
+    # pins the TPU plugin (must happen before any backend touch)
+    if os.environ.get("PAIF_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["PAIF_PLATFORM"])
     import jax.numpy as jnp
 
     from paif_tpu.attack.pgd import AttackConfig, make_attack_both
