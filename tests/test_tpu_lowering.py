@@ -56,3 +56,18 @@ def test_fused_r2_lowers():
 
 def test_full_fused_gf_forward_lowers():
     _lower(lambda g, s: _gf_forward(True, 4, (1e-3, 1e-4), g, s)[0], G4, X)
+
+
+def test_optin_research_kernels_lower(monkeypatch):
+    """The opt-in kernels (zconv, SR-attention) must keep lowering for TPU
+    even while defaulted off — they are measured research paths the next
+    round may re-enable."""
+    monkeypatch.setenv("PAIF_PALLAS_ZCONV", "1")
+    from paif_tpu.ops.pallas.sr_attention import sr_attention
+    from paif_tpu.ops.pallas.zconv import zconv
+
+    w = jnp.zeros((3, 3, 32, 32), jnp.bfloat16)
+    _lower(lambda a, ww: zconv(a, ww), X, w)
+    q = jnp.zeros((16, 19200, 64), jnp.bfloat16)
+    kv = jnp.zeros((16, 300, 64), jnp.bfloat16)
+    _lower(lambda a, b, c: sr_attention(a, b, c, 0.125), q, kv, kv)
