@@ -5,7 +5,7 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 from PIL import Image

@@ -10,7 +10,7 @@ coolwarm-colormapped channel-max heatmaps.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

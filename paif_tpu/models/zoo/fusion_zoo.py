@@ -15,8 +15,6 @@ Reference quirks preserved:
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ Bottleneck stride sits on the 3x3 conv (torchvision v1.5).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

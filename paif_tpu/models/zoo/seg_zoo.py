@@ -18,8 +18,6 @@ Reference quirks preserved:
 
 from __future__ import annotations
 
-from typing import List
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
