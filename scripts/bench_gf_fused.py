@@ -56,15 +56,22 @@ def slope_ms(fn, args, reps_lo=2, reps_hi=8, iters=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument(
+        "--smoke",
+        action="store_true",
+        help="tiny shapes + CPU-friendly: validates the script plumbing "
+        "off-chip (numbers are meaningless; interpret-mode Pallas)",
+    )
     args = ap.parse_args()
-    B = args.batch
+    B = 2 if args.smoke else args.batch
+    hw = (64, 96) if args.smoke else (480, 640)
 
     from paif_tpu.ops.guided_filter import guided_filter_multi_eps
     from paif_tpu.ops.packed import pack, packed_mode
 
     rng = np.random.default_rng(0)
     dt = jnp.bfloat16
-    x = jnp.asarray(rng.uniform(0, 1, (B, 480, 640, 32)), dt)
+    x = jnp.asarray(rng.uniform(0, 1, (B, *hw, 32)), dt)
     g = (jnp.max(x, -1, keepdims=True) - jnp.min(x, -1, keepdims=True)).astype(dt)
     xp, gp = pack(x), pack(g)
     print(f"devices: {jax.devices()}  B={B} src {xp.shape}", flush=True)
