@@ -16,7 +16,12 @@ import time
 
 sys.path.insert(0, ".")
 
+import os
+
 import jax
+
+if os.environ.get("PAIF_PLATFORM"):  # off-chip smoke: force a backend
+    jax.config.update("jax_platforms", os.environ["PAIF_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 

@@ -19,6 +19,9 @@ sys.path.insert(0, ".")
 os.environ.setdefault("PAIF_PRECISION", "default")
 
 import jax
+
+if os.environ.get("PAIF_PLATFORM"):  # off-chip smoke: force a backend
+    jax.config.update("jax_platforms", os.environ["PAIF_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 

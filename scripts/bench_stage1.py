@@ -15,6 +15,9 @@ os.environ.setdefault("PAIF_PRECISION", "default")
 os.environ.setdefault("PAIF_PALLAS_ATTN", "0")
 
 import jax
+
+if os.environ.get("PAIF_PLATFORM"):  # off-chip smoke: force a backend
+    jax.config.update("jax_platforms", os.environ["PAIF_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

@@ -21,6 +21,9 @@ import time
 os.environ.setdefault("PAIF_PRECISION", "default")
 
 import jax
+
+if os.environ.get("PAIF_PLATFORM"):  # off-chip smoke: force a backend
+    jax.config.update("jax_platforms", os.environ["PAIF_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 
@@ -137,15 +140,15 @@ def main():
             cov = box_filter_packed(gw * s, 4) - ms * gw
             return ms, cov
 
-    timeit("GF full primal (Pallas boxes)", gf_full, guide, src, reps=3)
-    timeit("GF full primal (einsum boxes)", gf_einsum, guide, src, reps=3)
-    timeit("guide moments (4-lane matmul path)", guide_moments, guide, src, reps=3)
-    timeit("src moment stage (2 box + mult)", src_moment_stage, src, guide, reps=3)
+    timeit("GF full primal (Pallas boxes)", gf_full, guide, src)
+    timeit("GF full primal (einsum boxes)", gf_einsum, guide, src)
+    timeit("guide moments (4-lane matmul path)", guide_moments, guide, src)
+    timeit("src moment stage (2 box + mult)", src_moment_stage, src, guide)
     timeit("1x Pallas box src-width", box1, src, guide)
-    timeit("2x Pallas box src-width", boxn_pallas(2), src, guide, reps=3)
-    timeit("6x Pallas box src-width", boxn_pallas(6), src, guide, reps=2)
-    timeit("2x einsum box src-width", boxn_einsum(2), src, guide, reps=3)
-    timeit("6x einsum box src-width", boxn_einsum(6), src, guide, reps=2)
+    timeit("2x Pallas box src-width", boxn_pallas(2), src, guide)
+    timeit("6x Pallas box src-width", boxn_pallas(6), src, guide)
+    timeit("2x einsum box src-width", boxn_einsum(2), src, guide)
+    timeit("6x einsum box src-width", boxn_einsum(6), src, guide)
 
 
 if __name__ == "__main__":
