@@ -103,11 +103,16 @@ def main():
     os.environ.setdefault("PAIF_PRECISION", "default")  # bf16 fast path
     t0 = time.perf_counter()
     ih, iw = INIT_HW
-    variables = model.init(
+    # jit the init: eagerly it is thousands of tiny dispatches, each paying
+    # the ~122 ms tunnel sync (BENCH_r03 measured 243.8 s of init); as ONE
+    # compiled program it is a single dispatch and persistently cacheable.
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, ih, iw, 1), jnp.float32),
         jnp.zeros((1, ih, iw, 3), jnp.float32),
     )
+    # force completion so the logged time is honest (readback = hard sync)
+    float(jnp.sum(variables["params"]["denoise_net"]["decoder"]["linear_pred"]["bias"]))
     log(f"init: {time.perf_counter() - t0:.1f}s")
 
     # bfloat16 params + inputs: the TPU fast path (f32 parity is tested in CI)

@@ -18,7 +18,10 @@ Semantics preserved from the reference, including its quirks:
     cossim_f from the same flattened tensor, so their ratio is exactly 1.
 
 Losses: 'l_seg' (CE ignore 255 on logits upsampled to label size), 'l_2',
-'l_1', 'l_ssim' on the recombined fused RGB against a clean fusion target.
+'l_1', 'l_ssim' on the recombined fused RGB against a clean fusion target;
+fgsm_ir additionally takes 'lpips' (reference's dead self-vs-self branch,
+kept bug-for-bug) and 'l_perceptual' (working self-contained LPIPS-style
+objective, ops/perceptual.py).
 """
 
 from __future__ import annotations
@@ -47,7 +50,7 @@ class AttackConfig:
     alpha: float = 2.0 / 255.0
     iters: int = 5
     restarts: int = 1
-    loss: str = "l_seg"  # l_seg | l_2 | l_1 | l_ssim
+    loss: str = "l_seg"  # l_seg | l_2 | l_1 | l_ssim | lpips | l_perceptual
     way: str = "PGD"  # PGD | segPGD | cosPGD | newPGD
     mode: str = "both"  # both | ir | vis
     remat: bool = False  # rematerialize the forward in the grad (memory/VMEM)
@@ -250,6 +253,20 @@ def make_fgsm_ir(apply_fn: ApplyFn, cfg: AttackConfig):
             return -jnp.mean(jnp.abs(robust - black))
         if cfg.loss == "l_ssim":
             return -ssim(robust, black)
+        if cfg.loss == "lpips":
+            # reference parity (attack/attack.py:298): the lpips branch
+            # compares the fused output with ITSELF — loss is identically 0,
+            # grad is 0, and the "attack" degenerates to the clipped random
+            # init. Kept bug-for-bug; use 'l_perceptual' for a working one.
+            from paif_tpu.ops.perceptual import perceptual_distance
+
+            return jnp.mean(perceptual_distance(2 * robust - 1, 2 * robust - 1))
+        if cfg.loss == "l_perceptual":
+            # working self-contained replacement for the reference's learned
+            # LPIPS: maximize perceptual distance from the black image
+            from paif_tpu.ops.perceptual import perceptual_distance
+
+            return -jnp.mean(perceptual_distance(robust, black))
         raise ValueError(f"unknown attack loss '{cfg.loss}'")
 
     grad_fn = jax.grad(loss_fn)

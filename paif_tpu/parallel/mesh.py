@@ -43,11 +43,20 @@ def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
 
     Non-array leaves (e.g. filename lists) pass through untouched. Batch
     sizes must be divisible by the mesh size — use data.pipeline.pad_to_batch.
+
+    Multi-host: when running under `jax.distributed` (process_count > 1),
+    each host passes its PROCESS-LOCAL rows and the global array is
+    assembled from the per-host shards (`make_array_from_process_local_data`
+    — no cross-host gather; each host's data lands on its own chips). The
+    global batch is then local_batch * process_count.
     """
     sharding = data_sharding(mesh, axis_name)
+    multihost = jax.process_count() > 1
 
     def put(x):
         if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
+            if multihost:
+                return jax.make_array_from_process_local_data(sharding, np.asarray(x))
             return jax.device_put(x, sharding)
         return x
 

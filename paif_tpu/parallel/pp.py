@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:
     from jax import shard_map  # jax >= 0.8
@@ -40,6 +40,13 @@ def make_pp_forward(model, mesh: Mesh, microbatches: int, data_axis="data", pp_a
     The global batch must be divisible by (data-axis size) * microbatches.
     Output values equal the single-device forward (same math per
     microbatch; per-image normalization keeps microbatching exact).
+
+    Does NOT compose with tensor parallelism: GSPMD lowers model-axis
+    reshardings as full-mesh collective-permutes, and the `lax.cond` stage
+    divergence below means half the devices never reach them (measured
+    rendezvous deadlock on an 8-device mesh). For DP x TP x PP use
+    `make_pp_forward_multijit`, which gives each stage its own submesh and
+    keeps collectives out of divergent control flow.
     """
     n_pp = mesh.shape[pp_axis]
     if n_pp != 2:
@@ -108,5 +115,83 @@ def make_pp_forward(model, mesh: Mesh, microbatches: int, data_axis="data", pp_a
     def pp_forward(variables, ir, vis):
         fused2, seg2 = mapped(variables, ir, vis)
         return fused2[0], seg2[1]  # stage-0 devices hold fused, stage-1 seg
+
+    return pp_forward
+
+
+def split_variables_pp(variables):
+    """Split a PAIFJoint variable tree into (stage-0, stage-1) subtrees.
+
+    Stage 0 owns the fusion branch (`enhance_net` + the parameterless
+    normalize chain); stage 1 owns the SegFormer (`denoise_net`). Each
+    stage's devices then hold ONLY their stage's parameters — real pipeline
+    parameter sharding, unlike the replicated-params shard_map schedule.
+    """
+    v0, v1 = {}, {}
+    for col, tree in variables.items():
+        s0 = {k: v for k, v in tree.items() if k != "denoise_net"}
+        s1 = {k: v for k, v in tree.items() if k == "denoise_net"}
+        if s0:
+            v0[col] = s0
+        if s1:
+            v1[col] = s1
+    return v0, v1
+
+
+def make_pp_forward_multijit(
+    model,
+    mesh0: Mesh,
+    mesh1: Mesh,
+    data_axis: str = "data",
+):
+    """2-stage pipeline as two pjit programs on disjoint submeshes.
+
+    TPU-native composition of DP x TP x PP: each stage is an ordinary
+    GSPMD program on its own (data[, model]) submesh — stage 0 the fusion
+    branch, stage 1 the SegFormer — so tensor-parallel parameter shardings
+    (parallel/tp.shard_params_tp over mesh1) stay fully live inside each
+    stage, with no collectives in divergent control flow (the deadlock of
+    the single-shard_map + auto-TP form). The stage handoff is one
+    `jax.device_put` of the normalized RGB activation per microbatch;
+    dispatch is async, so stage 0 of microbatch t overlaps stage 1 of
+    microbatch t-1 exactly like a GPipe schedule.
+
+    Usage:
+        v0, v1 = split_variables_pp(variables)          # per-stage params
+        v1 = shard_params_tp(mesh1, v1)                 # optional TP
+        fwd = make_pp_forward_multijit(model, mesh0, mesh1)
+        fused, seg = fwd(v0, v1, ir_microbatches, vis_microbatches)
+
+    Scope: inference/eval forward, like `make_pp_forward`.
+    """
+    d0 = NamedSharding(mesh0, P(data_axis))
+    d1 = NamedSharding(mesh1, P(data_axis))
+
+    @jax.jit
+    def stage0(v0, ir_mb, vis_mb):
+        fused = model.apply(v0, ir_mb, vis_mb, method=lambda m, i, s: m.fuse(i, s))
+        x_seg = model.apply(v0, fused, vis_mb, method=lambda m, f, s: m.seg_input(f, s))
+        return fused, x_seg
+
+    @jax.jit
+    def stage1(v1, x_seg):
+        return model.apply(v1, x_seg, method=lambda m, x: m.denoise_net(x))
+
+    def pp_forward(v0, v1, ir, vis, microbatches: int):
+        n = ir.shape[0]
+        assert n % microbatches == 0, (n, microbatches)
+        mb = n // microbatches
+        fused_out, seg_out = [], []
+        inflight = []  # GPipe steady state: stage1(t-1) overlaps stage0(t)
+        for t in range(microbatches):
+            ir_mb = jax.device_put(ir[t * mb : (t + 1) * mb], d0)
+            vis_mb = jax.device_put(vis[t * mb : (t + 1) * mb], d0)
+            fused, x_seg = stage0(v0, ir_mb, vis_mb)
+            fused_out.append(fused)
+            inflight.append(jax.device_put(x_seg, d1))
+            if len(inflight) > 1:  # drain the previous microbatch into stage 1
+                seg_out.append(stage1(v1, inflight.pop(0)))
+        seg_out.append(stage1(v1, inflight.pop(0)))
+        return jnp.concatenate(fused_out), jnp.concatenate(seg_out)
 
     return pp_forward

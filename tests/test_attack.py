@@ -294,3 +294,23 @@ def test_fusion_targeted_pgd_and_fgsm(models, data):
     mask = jnp.zeros_like(jir).at[:, :16].set(1.0)
     dm = fgsm(variables, jir, jvis, jax.random.PRNGKey(0), mask)
     assert float(jnp.max(jnp.abs(np.asarray(dm)[:, 16:]))) == 0.0
+
+    # 'lpips' preserves the reference's dead branch (attack/attack.py:298 —
+    # distance of the output to itself): zero grad, so the delta is exactly
+    # the clipped random init
+    from paif_tpu.attack.pgd import _init_delta
+
+    fgsm_lp = make_fgsm_ir(apply_fn, AttackConfig(loss="lpips"))
+    d_lp = fgsm_lp(variables, jir, jvis, jax.random.PRNGKey(0))
+    init = jnp.clip(
+        _init_delta(jax.random.PRNGKey(0), jir, EPS, "uniform"), -jir, 1.0 - jir
+    )
+    np.testing.assert_allclose(np.asarray(d_lp), np.asarray(init), atol=1e-7)
+
+    # 'l_perceptual' (the working self-contained replacement) produces a
+    # non-degenerate, in-budget perturbation
+    fgsm_p = make_fgsm_ir(apply_fn, AttackConfig(loss="l_perceptual", init="zero"))
+    d_p = fgsm_p(variables, jir, jvis, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(d_p)).all()
+    assert float(jnp.max(jnp.abs(d_p))) <= EPS + 1e-6
+    assert float(jnp.max(jnp.abs(d_p))) > 0.0  # gradient actually flows
