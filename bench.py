@@ -75,9 +75,12 @@ def main():
     from paif_tpu.genotype import PAIF_GENOTYPE
     from paif_tpu.models import FusionNetSearched, PAIFJoint
 
-    # persistent compile cache: repeated bench runs skip the ~2 min compiles
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persistent compile cache, repo-local so the builder session's compiles
+    # survive into the driver environment (BENCH_r03 paid 1225 s re-compiling
+    # because /tmp did not persist + the bench programs were new code)
+    from paif_tpu.utils.jax_cache import configure_compile_cache
+
+    log(f"compile cache: {configure_compile_cache()}")
     log(f"devices: {jax.devices()}")
     global BATCH, ATTACK_BATCH, H, W  # noqa: PLW0603
     # PAIF_BENCH_SMOKE=1: tiny shapes so the bench SCRIPT (timing plumbing,

@@ -23,6 +23,10 @@ if os.environ.get("PAIF_PLATFORM"):
 
 import jax.numpy as jnp
 
+from paif_tpu.utils.jax_cache import configure_compile_cache
+
+configure_compile_cache()  # repo-local persistent compile cache
+
 from paif_tpu.attack.pgd import AttackConfig
 from paif_tpu.genotype import Genotype
 from paif_tpu.models import FusionNetSearched, PAIFJoint

@@ -149,11 +149,23 @@ def conv_same_packed(
     end to end (fusion/layout barrier — see zconv_enabled); the scattered
     conv is the default everywhere. The pure-XLA z form below is likewise
     a measured negative (repack materialization: 11.0 vs 5.6 ms).
+
+    groups>1 (depthwise) routes through a block-diagonal DENSE kernel by
+    default (PAIF_PACKED_DW_DENSE): `feature_group_count>1` makes XLA:TPU
+    pick a batch-minor 5-D layout for the operand — bf16[B,H',W',C,4]
+    tiled T(4,128) pads the B=16 dim to 128 lanes (8x, 2.34 GB per temp;
+    this is what OOMed the round-4 fused-box PGD step by 49 MB, and why
+    the grouped microbench row measured 21.3 ms vs ~3 ms dense at
+    (16,240,320,128)). The structural-zero MXU FLOPs of the dense form
+    are the same class of trade as the scattered kernel itself.
     """
     from paif_tpu.ops.pallas.zconv import zconv, zconv_applicable
 
     if zconv_applicable(xp.shape, w.shape, dilation, groups, xp.dtype):
         return zconv(xp, w)
+    if groups > 1 and os.environ.get("PAIF_PACKED_DW_DENSE", "1") not in ("0", "false", "off"):
+        w = _block_diag_kernel(w, groups)
+        groups = 1
     wp, (rh, rw) = pack_kernel(w, dilation)
     return jax.lax.conv_general_dilated(
         xp,
@@ -164,6 +176,20 @@ def conv_same_packed(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=get_precision(),
     )
+
+
+def _block_diag_kernel(w: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Grouped HWIO kernel (kh,kw,ci/groups,co) -> dense block-diagonal
+    (kh,kw,ci,co) computing the identical grouped conv with groups=1.
+
+    lax grouped-conv semantics: input group g = original channels
+    [g*cig, (g+1)*cig), output group g = [g*cog, (g+1)*cog)."""
+    kh, kw, cig, co = w.shape
+    cog = co // groups
+    w5 = w.reshape(kh, kw, cig, groups, cog)
+    eye = jnp.eye(groups, dtype=w.dtype)
+    dense = jnp.einsum("abigo,gh->abgiho", w5, eye)
+    return dense.reshape(kh, kw, cig * groups, co)
 
 
 def _phase_lane_masks(c4: int) -> Tuple[np.ndarray, np.ndarray]:

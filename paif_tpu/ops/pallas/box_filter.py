@@ -255,14 +255,15 @@ _box_vjp.defvjp(_box_fwd, _box_bwd)
 def fused_gf_box_enabled() -> bool:
     """PAIF_FUSED_GF_BOX gate for the fused guided-filter box path.
 
-    Default OFF until the VMEM model is validated on the real chip (the
-    fused W-pass carries 2x the io blocks of the single kernel; interpret
-    mode cannot catch an overflow). Flip the default once the on-chip A/B
-    (scripts/bench_gf_fused.py) confirms fit + win."""
+    Default ON since the round-4 on-chip A/B (scripts/bench_gf_fused.py,
+    2026-08-19, v5e): isolated two-eps GF 20.4 (fused K=4) vs 23.2 ms
+    (single-tensor Pallas) vs 30.8 (einsum); fusion-branch forward B16
+    119.1 vs 122.2 ms. No VMEM overflow at flagship shapes; composes with
+    pallas_box_enabled() so non-TPU backends are unaffected."""
     env = os.environ.get("PAIF_FUSED_GF_BOX")
     if env is not None:
         return env not in ("0", "false", "off")
-    return False
+    return True
 
 
 def _scratch_per_output() -> bool:
@@ -356,9 +357,11 @@ def _fused_pass(xs, r: int, axis: int, prod: bool):
 
 
 def _fused_group_size() -> int:
-    """Tensors per fused kernel call (PAIF_FUSED_GF_K, default 2: pairs keep
-    the W-pass io blocks within the VMEM model at flagship shapes)."""
-    return max(1, int(os.environ.get("PAIF_FUSED_GF_K", "2")))
+    """Tensors per fused kernel call (PAIF_FUSED_GF_K). Default 4 since the
+    round-4 on-chip A/B: K=4 20.36 vs K=2 20.72 ms isolated (and 119.1 vs
+    119.3 ms fusion-forward B16) — the chunked dispatch still shrinks any
+    pass whose K=4 slab would not fit VMEM."""
+    return max(1, int(os.environ.get("PAIF_FUSED_GF_K", "4")))
 
 
 def _chunked_pass(xs, r: int, axis: int):

@@ -45,8 +45,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from paif_tpu.utils.jax_cache import configure_compile_cache
+
+
+    configure_compile_cache()
 
     from paif_tpu.data.synthetic import SyntheticFusionDataset
     from paif_tpu.eval.harness import EvalConfig, run_eval

@@ -29,8 +29,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from paif_tpu.utils.jax_cache import configure_compile_cache
+
+
+configure_compile_cache()
 
 from paif_tpu.ops.pallas.box_filter import _pass_kernel, _pick_tile
 

@@ -24,8 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from paif_tpu.utils.jax_cache import configure_compile_cache
+
+
+configure_compile_cache()
 
 
 class MitPrefix(nn.Module):

@@ -24,8 +24,10 @@ if os.environ.get("PAIF_PLATFORM"):  # off-chip smoke: force a backend
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from paif_tpu.utils.jax_cache import configure_compile_cache
+
+
+configure_compile_cache()
 
 
 def main():
@@ -128,7 +130,9 @@ def main():
                 )
                 results.append((tag, pps))
             except Exception as e:
-                msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+                # full text: the remote compile helper buries the real
+                # Mosaic/XLA error below an HTTP 500 first line
+                msg = str(e)[:8000] if str(e) else type(e).__name__
                 print(f"{tag}: FAILED {type(e).__name__}: {msg}", flush=True)
 
     print("\n== summary ==")

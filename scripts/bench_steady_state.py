@@ -26,8 +26,10 @@ if os.environ.get("PAIF_PLATFORM"):  # off-chip smoke: force a backend
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from paif_tpu.utils.jax_cache import configure_compile_cache
+
+
+configure_compile_cache()
 
 
 def slope_ms(build_body, args, big_reps=4, iters=3):

@@ -24,8 +24,11 @@ try:  # no-op if the backend is already initialized (e.g. by a plugin)
 except Exception:  # pragma: no cover
     pass
 
-# Persistent compile cache: first full run is slow on this box; re-runs are not.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# Persistent compile cache: first full run is slow on this box; re-runs are
+# not. Repo-local so it survives into the driver environment (utils/jax_cache).
+from paif_tpu.utils.jax_cache import configure_compile_cache  # noqa: E402
+
+configure_compile_cache()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

@@ -76,6 +76,23 @@ def test_packed_depthwise_matches_plain(k, dilation):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("groups,co", [(16, 16), (4, 8)])
+def test_packed_grouped_dense_matches_grouped(monkeypatch, groups, co):
+    """PAIF_PACKED_DW_DENSE (default ON) embeds grouped kernels into a
+    block-diagonal dense one: XLA:TPU lowers feature_group_count>1 on the
+    packed layout to a batch-minor 5-D form with 8x padding (round-4 OOM).
+    Both routes must compute the same conv."""
+    rng = np.random.default_rng(7)
+    ci = 16
+    x = jnp.asarray(rng.normal(size=(2, 12, 12, ci)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, ci // groups, co)) * 0.1, jnp.float32)
+    monkeypatch.setenv("PAIF_PACKED_DW_DENSE", "0")
+    ref = conv_same_packed(pack(x), w, 2, groups=groups)
+    monkeypatch.setenv("PAIF_PACKED_DW_DENSE", "1")
+    got = conv_same_packed(pack(x), w, 2, groups=groups)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
 def test_pack_kernel_extents():
     # packed spatial extent: k=3 -> 3, k=5 -> 3, k=7 -> 5 (d=1)
     for k, expect in [(3, 3), (5, 3), (7, 5)]:

@@ -71,3 +71,20 @@ def test_optin_research_kernels_lower(monkeypatch):
     q = jnp.zeros((16, 19200, 64), jnp.bfloat16)
     kv = jnp.zeros((16, 300, 64), jnp.bfloat16)
     _lower(lambda a, b, c: sr_attention(a, b, c, 0.125), q, kv, kv)
+
+
+def test_gf_grad_box_diff_lowers(monkeypatch):
+    """The PAIF_PALLAS_BOX_DIFF config — fused Pallas boxes inside the
+    DIFFERENTIATED guided filter (custom-vjp fwd + analytic bwd), the
+    round-4 attack-leg candidate — must lower front-to-back for TPU
+    (grad graph included). Backend compile + VMEM fit stay chip-gated."""
+    monkeypatch.setenv("PAIF_PALLAS_BOX_DIFF", "1")
+    from paif_tpu.ops.guided_filter import guided_filter_multi_eps
+    from paif_tpu.ops.packed import packed_mode
+
+    def loss(g, s):
+        with packed_mode():
+            outs = guided_filter_multi_eps(g, s, 4, (1e-3, 1e-4))
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+
+    _lower(jax.grad(loss, argnums=(0, 1)), G4, X)
