@@ -201,11 +201,13 @@ def main():
             backbone="mit_b3",
             num_classes=9,
             fusion=lambda: FusionNetSearched(32, PAIF_GENOTYPE),
-            # Full encoder remat: with the guided filter's analytic-VJP
-            # residuals, batch 16 needs the whole encoder rematted (sweep:
-            # True/b16 5.19 fits; (0,1)/b16 and False/b16 OOM; False/b8
-            # 5.01). Remat scope costs <2% — the fusion branch dominates.
-            remat=True,
+            # No remat: with the dense depthwise routing + fused Pallas
+            # boxes in the analytic GF backward, no-remat b16 fits for the
+            # first time and wins the round-4 sweep (5.88 vs 5.71 full-remat
+            # pairs/s; b24/b32 OOM at every remat scope —
+            # bench_logs/r4/pgd_sweep_densedw.log). It also compiles in
+            # ~1 min where the full-remat attack program takes 7-19 min.
+            remat=False,
         )
         atk = make_attack_both(
             lambda v, i, s: model_r.apply(v, i, s), AttackConfig(iters=1 if smoke else 5)

@@ -30,9 +30,12 @@ def main(argv=None) -> dict:
     args = base_parser(__doc__).parse_args(argv)
     cfg = config_from_args(args)
 
-    # per-block remat: the PGD inner loop differentiates through the full
-    # joint model; without remat the activations exceed HBM at 480x640.
-    model = build_model(cfg, remat=True)
+    # The PGD inner loop differentiates through the full joint model. Since
+    # the round-4 dense-depthwise + fused-box work, no-remat fits up to
+    # batch 16 at 480x640 and is both faster (5.88 vs 5.71 attacked
+    # pairs/s) and ~10x quicker to compile; larger batches still need
+    # per-block remat (b24/b32 OOM at every scope — bench_logs/r4/).
+    model = build_model(cfg, remat=cfg.dataset.batch_size > 16)
     dataset = build_dataset(cfg)
     vis0 = dataset[0][0]
     variables = maybe_cast_dtype(cfg, build_variables(cfg, model, vis0.shape[:2]))

@@ -314,14 +314,15 @@ def _gf_forward(packed, r, eps_list, guide, src, allow_pallas=True, diff_fused=F
 
 
 def pallas_box_diff_enabled() -> bool:
-    """PAIF_PALLAS_BOX_DIFF=1: let the DIFFERENTIATED guided-filter paths
+    """PAIF_PALLAS_BOX_DIFF: let the DIFFERENTIATED guided-filter paths
     (custom-vjp fwd + analytic bwd — the PGD/AAT hot loop) use the fused
-    Pallas box kernels instead of einsum band matmuls. Default OFF: the
-    round-2 A/B (single-tensor kernels) measured einsum faster end to end
-    (5.36 vs 5.0 attacked pairs/s); the round-3 fused kernels change the
-    economics (3 shared launches + in-VMEM product per direction), so this
-    knob exists to re-measure on chip before flipping."""
-    return os.environ.get("PAIF_PALLAS_BOX_DIFF", "0") not in ("0", "false", "off")
+    Pallas box kernels instead of einsum band matmuls. Default ON since the
+    round-4 on-chip A/B (bench_logs/r4/pgd_sweep_densedw.log): attacked
+    pairs/s at B16 PGD-5 is 5.88 vs 5.70 (no-remat) and 5.71 vs 5.66
+    (full remat). The round-2 regression (einsum 5.36 vs single-tensor
+    Pallas 5.0) was the single-tensor kernels; the round-3 fused multi-
+    tensor launches + the round-4 dense depthwise fix reversed it."""
+    return os.environ.get("PAIF_PALLAS_BOX_DIFF", "1") not in ("0", "false", "off")
 
 
 def _gf_backward(packed, r, eps_list, res, cots):
