@@ -86,13 +86,31 @@ def looped(fn):
     return make
 
 
+def safe(name, thunk):
+    """One piece failing (e.g. a transient remote-compile HTTP 500) must not
+    kill the rest of the decomposition — round-4 session-1 lost the tail of
+    this table exactly that way."""
+    try:
+        return thunk()
+    except Exception as e:  # noqa: BLE001
+        print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}", flush=True)
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--r1", type=int, default=1)
     ap.add_argument("--r2", type=int, default=3)
     ap.add_argument("--hw", type=int, nargs=2, default=(480, 640))
+    ap.add_argument(
+        "--pieces",
+        default=None,
+        help="comma list to run (fwd,grad,pgd_step,fusion,gf_grad,enc_grad); default all",
+    )
     args = ap.parse_args()
+    pieces = set(args.pieces.split(",")) if args.pieces else None
+    want = lambda k: pieces is None or k in pieces  # noqa: E731
     print(f"devices: {jax.devices()}", flush=True)
 
     from paif_tpu.attack.pgd import AttackConfig, make_attack_both, seg_attack_loss
@@ -130,7 +148,8 @@ def main():
         fused, seg = model.apply(vv, i + salt.astype(i.dtype) * 0, s)
         return jnp.sum(fused.astype(jnp.float32)) + jnp.sum(seg.astype(jnp.float32))
 
-    results["fwd"] = slope(looped(fwd), (v, ir, vis), args.r1, args.r2, "fwd       ")
+    if want("fwd"):
+        results["fwd"] = safe("fwd", lambda: slope(looped(fwd), (v, ir, vis), args.r1, args.r2, "fwd       "))
 
     # 2. grad of the attack loss wrt inputs (the PGD inner computation)
     def attack_loss(vv, lab, i, s):
@@ -143,7 +162,8 @@ def main():
         di, ds = g_inputs(vv, lab, i + salt.astype(i.dtype) * 0, s)
         return jnp.sum(di.astype(jnp.float32)) + jnp.sum(ds.astype(jnp.float32))
 
-    results["grad"] = slope(looped(grad_fn), (v, label, ir, vis), args.r1, args.r2, "grad      ")
+    if want("grad"):
+        results["grad"] = safe("grad", lambda: slope(looped(grad_fn), (v, label, ir, vis), args.r1, args.r2, "grad      "))
 
     # 3. one full PGD step (grad + sign + project + clamp), via the attack loop
     def pgd(r):
@@ -156,7 +176,8 @@ def main():
 
         return run
 
-    results["pgd_step"] = slope(pgd, (v, ir, vis, label), 1, 5, "pgd_step  ")
+    if want("pgd_step"):
+        results["pgd_step"] = safe("pgd_step", lambda: slope(pgd, (v, ir, vis, label), 1, 5, "pgd_step  "))
 
     # 4. fusion branch alone
     fus = FusionNetSearched(32, PAIF_GENOTYPE)
@@ -174,12 +195,14 @@ def main():
         di, ds = g_fus(vv, i + salt.astype(i.dtype) * 0, s)
         return jnp.sum(di.astype(jnp.float32)) + jnp.sum(ds.astype(jnp.float32))
 
-    results["fusion_grad"] = slope(looped(fus_grad), (vf, ir, vis), args.r1, args.r2, "fus_grad  ")
+    if want("fusion"):
+        results["fusion_grad"] = safe("fusion_grad", lambda: slope(looped(fus_grad), (vf, ir, vis), args.r1, args.r2, "fus_grad  "))
 
     def fus_fwd(vv, i, s, salt):
         return jnp.sum(fus.apply(vv, i + salt.astype(i.dtype) * 0, s).astype(jnp.float32))
 
-    results["fusion_fwd"] = slope(looped(fus_fwd), (vf, ir, vis), args.r1, args.r2, "fus_fwd   ")
+    if want("fusion"):
+        results["fusion_fwd"] = safe("fusion_fwd", lambda: slope(looped(fus_fwd), (vf, ir, vis), args.r1, args.r2, "fus_fwd   "))
 
     # 5. two-eps guided filter alone (flagship packed shapes)
     from paif_tpu.ops.guided_filter import guided_filter_multi_eps
@@ -199,7 +222,8 @@ def main():
         dg, ds = g_gf(g + salt.astype(g.dtype) * 0, s)
         return jnp.sum(dg.astype(jnp.float32)) + jnp.sum(ds.astype(jnp.float32))
 
-    results["gf_grad"] = slope(looped(gf_grad), (guide, src), args.r1, args.r2, "gf_grad   ")
+    if want("gf_grad"):
+        results["gf_grad"] = safe("gf_grad", lambda: slope(looped(gf_grad), (guide, src), args.r1, args.r2, "gf_grad   "))
 
     # 6. encoder + head alone
     from paif_tpu.models.joint import SegFormer
@@ -216,18 +240,20 @@ def main():
     def enc_grad(vv, x, salt):
         return jnp.sum(g_enc(vv, x + salt.astype(x.dtype) * 0).astype(jnp.float32))
 
-    results["enc_grad"] = slope(looped(enc_grad), (ve, rgb), args.r1, args.r2, "enc_grad  ")
+    if want("enc_grad"):
+        results["enc_grad"] = safe("enc_grad", lambda: slope(looped(enc_grad), (ve, rgb), args.r1, args.r2, "enc_grad  "))
 
     print("\n== decomposition (ms, steady-state slope) ==", flush=True)
     for k, dt in results.items():
-        print(f"  {k:12s} {dt * 1e3:7.1f}", flush=True)
-    f, g = results["fwd"], results["grad"]
-    print(
-        f"\nattack-leg bound = {B / (5 * results['pgd_step']):.2f} pairs/s at PGD-5"
-        f" | autodiff tax grad/fwd = {g / f:.2f}x"
-        f" | pgd overhead/step = {(results['pgd_step'] - g) * 1e3:.1f} ms",
-        flush=True,
-    )
+        if dt is not None:
+            print(f"  {k:12s} {dt * 1e3:7.1f}", flush=True)
+    f, g, p5 = results.get("fwd"), results.get("grad"), results.get("pgd_step")
+    if p5:
+        print(f"attack-leg bound = {B / (5 * p5):.2f} pairs/s at PGD-5", flush=True)
+    if f and g:
+        print(f"autodiff tax grad/fwd = {g / f:.2f}x", flush=True)
+    if g and p5:
+        print(f"pgd overhead/step = {(p5 - g) * 1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
