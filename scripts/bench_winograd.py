@@ -88,7 +88,7 @@ def winograd_packed(xp: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
             jnp.concatenate([x6[:, 1:], zpad], 1),
         ]
     )  # (3,B,H',W',C,2,2)
-    vh = jnp.einsum("hsp,sbijcpq->hbijcq", comb, xs_h)  # (4,B,H',W',C,2)
+    vh = jnp.einsum("hsp,sbijcpq->hbijcq", comb, xs_h, precision=get_precision())  # (4,B,H',W',C,2)
     zpad_w = jnp.zeros_like(vh[:, :, :, :1])
     xs_w = jnp.stack(
         [
@@ -97,16 +97,16 @@ def winograd_packed(xp: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
             jnp.concatenate([vh[:, :, :, 1:], zpad_w], 3),
         ]
     )  # (3,4,B,H',W',C,2)
-    v = jnp.einsum("wsq,shbijcq->hwbijc", comb, xs_w)  # (4,4,B,H',W',C)
+    v = jnp.einsum("wsq,shbijcq->hwbijc", comb, xs_w, precision=get_precision())  # (4,4,B,H',W',C)
 
     g = jnp.asarray(G, w.dtype)
-    u = jnp.einsum("hu,wv,uvck->hwck", g, g, w)  # (4,4,C,K)
+    u = jnp.einsum("hu,wv,uvck->hwck", g, g, w, precision=get_precision())  # (4,4,C,K)
     m = jnp.einsum(
         "hwbijc,hwck->hwbijk", v, u, precision=get_precision()
     )  # (4,4,B,H',W',K)
 
     at = jnp.asarray(AT, xp.dtype)
-    y = jnp.einsum("mh,nw,hwbijk->bijkmn", at, at, m)  # (B,H',W',K,2,2)
+    y = jnp.einsum("mh,nw,hwbijk->bijkmn", at, at, m, precision=get_precision())  # (B,H',W',K,2,2)
     return y.reshape(b, hp, wp_, 4 * (w.shape[-1]))
 
 
