@@ -31,12 +31,10 @@ BASELINE_PAIRS_PER_SEC = 0.0736
 # ~122 ms fixed host-sync overhead over more pairs (see round-3 notes in
 # docs/PERF.md; scripts/bench_steady_state.py reproduces the sweep).
 BATCH = 16
-# Attack leg: full encoder remat at batch 16 is the measured optimum of the
-# round-3 re-sweep (scripts/bench_pgd.py): no-remat b16 OOMs with the
-# analytic-VJP residuals; remat_filter variants (False/b16 4.74, False/b24
-# 4.63, True/b24 4.70) all lose to full-remat b16 5.16-5.19 — the GF
-# recompute costs more than its residuals save; b24+/b32 full-remat fail
-# HBM at compile.
+# Attack leg: b16 NO-REMAT is the round-4 optimum (5.88 attacked pairs/s,
+# bench_logs/r4/pgd_sweep_densedw.log) — the dense depthwise routing + fused
+# Pallas boxes in the analytic GF backward make no-remat fit for the first
+# time; b24/b32 OOM at every remat scope, so b16 is the memory frontier.
 ATTACK_BATCH = 16
 INIT_HW = (64, 64)  # param shapes are resolution-independent; init small, run big
 H, W = 480, 640

@@ -144,7 +144,10 @@ def build_variables(cfg: Config, model: PAIFJoint, image_hw: Tuple[int, int]):
     return template
 
 
-def build_dataset(cfg: Config):
+def build_dataset(cfg: Config, uint8: bool = False):
+    """`uint8=True` keeps the host pipeline in the decoded uint8 domain (the
+    eval harness normalizes on device) — only for consumers that go through
+    `run_eval`; `fuse`/`train_aat` index items directly and expect float32."""
     d = cfg.dataset
     if d.synthetic or not (d.ir_path and d.vi_path):
         from paif_tpu.data.synthetic import make_synthetic_dataset
@@ -153,7 +156,9 @@ def build_dataset(cfg: Config):
         return make_synthetic_dataset(n=d.synthetic_n, hw=tuple(d.image_hw))
     from paif_tpu.data.datasets import FusionDataset
 
-    return FusionDataset(ir_path=d.ir_path, vi_path=d.vi_path, label_path=d.label_path)
+    return FusionDataset(
+        ir_path=d.ir_path, vi_path=d.vi_path, label_path=d.label_path, uint8=uint8
+    )
 
 
 def maybe_cast_dtype(cfg: Config, variables):

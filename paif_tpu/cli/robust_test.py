@@ -36,7 +36,7 @@ def main(argv=None) -> dict:
     # pairs/s) and ~10x quicker to compile; larger batches still need
     # per-block remat (b24/b32 OOM at every scope — bench_logs/r4/).
     model = build_model(cfg, remat=cfg.dataset.batch_size > 16)
-    dataset = build_dataset(cfg)
+    dataset = build_dataset(cfg, uint8=True)
     vis0 = dataset[0][0]
     variables = maybe_cast_dtype(cfg, build_variables(cfg, model, vis0.shape[:2]))
 

@@ -27,7 +27,7 @@ def main(argv=None) -> dict:
     cfg = config_from_args(args)
 
     model = build_model(cfg)
-    dataset = build_dataset(cfg)
+    dataset = build_dataset(cfg, uint8=True)
     vis0 = dataset[0][0]
     variables = maybe_cast_dtype(cfg, build_variables(cfg, model, vis0.shape[:2]))
 

@@ -38,43 +38,81 @@ def _native_decode(path: str, channels: int):
     return native.decode_image(path, channels)
 
 
-def _load_rgb(path: str) -> np.ndarray:
+def _load_rgb_u8(path: str) -> np.ndarray:
     u8 = _native_decode(path, 3)
     if u8 is None:
         u8 = np.array(Image.open(path).convert("RGB"), dtype=np.uint8)
-    return u8.astype(np.float32) / 255.0  # (H,W,3)
+    return u8  # (H,W,3)
 
 
-def _load_gray(path: str) -> np.ndarray:
+def _load_gray_u8(path: str) -> np.ndarray:
     u8 = _native_decode(path, 1)
     if u8 is None:
         u8 = np.array(Image.open(path).convert("L"), dtype=np.uint8)[..., None]
-    return u8.astype(np.float32) / 255.0  # (H,W,1)
+    return u8  # (H,W,1)
+
+
+def _load_rgb(path: str) -> np.ndarray:
+    return _load_rgb_u8(path).astype(np.float32) / 255.0  # (H,W,3)
+
+
+def _load_gray(path: str) -> np.ndarray:
+    return _load_gray_u8(path).astype(np.float32) / 255.0  # (H,W,1)
 
 
 def _load_label(path: str) -> np.ndarray:
     return np.array(Image.open(path), dtype=np.int64)
 
 
-class FusionDataset:
-    """(vis (H,W,3), ir (H,W,1), label (H,W) int64, name) items."""
+def _load_label_i32(path: str) -> np.ndarray:
+    u8 = _native_decode(path, 1)
+    if u8 is None:
+        return np.array(Image.open(path), dtype=np.int32)
+    return u8[..., 0].astype(np.int32)
 
-    def __init__(self, ir_path: str, vi_path: str, label_path: Optional[str] = None):
+
+class FusionDataset:
+    """(vis (H,W,3), ir (H,W,1), label (H,W) int64, name) items.
+
+    With `uint8=True` the host pipeline stays in the decoded uint8 domain
+    (vis/ir uint8, label int32): at 480x640 on this VM's single host core the
+    f32 /255 conversion, the int64 PIL label load, and the 4-6x larger H2D
+    transfer cost more than the PNG decode itself (round-4 microbench:
+    43.6 pairs/s u8-decode-only vs 10.8 pairs/s e2e on the f32 path). The
+    eval step normalizes on device — exact f32 /255, so numerics match the
+    host path bit-for-bit before the working-dtype cast."""
+
+    def __init__(
+        self,
+        ir_path: str,
+        vi_path: str,
+        label_path: Optional[str] = None,
+        uint8: bool = False,
+    ):
         self.filepath_vis, self.filenames = prepare_data_path(vi_path)
         self.filepath_ir, _ = prepare_data_path(ir_path)
         self.filepath_label = prepare_data_path(label_path)[0] if label_path else None
         self.length = min(len(self.filepath_vis), len(self.filepath_ir))
+        self.uint8 = uint8
 
     def __len__(self) -> int:
         return self.length
 
     def __getitem__(self, index: int):
-        vis = _load_rgb(self.filepath_vis[index])
-        ir = _load_gray(self.filepath_ir[index])
-        if self.filepath_label is not None:
-            label = _load_label(self.filepath_label[index])
+        if self.uint8:
+            vis = _load_rgb_u8(self.filepath_vis[index])
+            ir = _load_gray_u8(self.filepath_ir[index])
+            if self.filepath_label is not None:
+                label = _load_label_i32(self.filepath_label[index])
+            else:
+                label = np.zeros(vis.shape[:2], dtype=np.int32)
         else:
-            label = np.zeros(vis.shape[:2], dtype=np.int64)
+            vis = _load_rgb(self.filepath_vis[index])
+            ir = _load_gray(self.filepath_ir[index])
+            if self.filepath_label is not None:
+                label = _load_label(self.filepath_label[index])
+            else:
+                label = np.zeros(vis.shape[:2], dtype=np.int64)
         name = os.path.basename(self.filepath_vis[index])
         return vis, ir, label, name
 

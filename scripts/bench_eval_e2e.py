@@ -67,6 +67,11 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--root", default="/tmp/paif_e2e")
     ap.add_argument("--smoke", action="store_true", help="tiny model (mit_b0)")
+    ap.add_argument(
+        "--f32path",
+        action="store_true",
+        help="legacy host-f32 pipeline (A/B vs the uint8 host path)",
+    )
     args = ap.parse_args()
 
     from paif_tpu.data.datasets import FusionDataset
@@ -99,6 +104,7 @@ def main():
         ir_path=os.path.join(args.root, "ir"),
         vi_path=os.path.join(args.root, "vi"),
         label_path=os.path.join(args.root, "label"),
+        uint8=not args.f32path,
     )
     cfg = EvalConfig(batch_size=args.batch, input_dtype="bfloat16", use_mesh=False)
     t0 = time.perf_counter()

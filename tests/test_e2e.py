@@ -369,3 +369,35 @@ def test_all_config_presets_load():
         cfg = load_config(p)
         assert cfg.model.backbone.startswith("mit_b")
         assert cfg.dataset.batch_size >= 1 and cfg.train.max_iters >= 1
+
+
+def test_uint8_host_path_matches_f32(tmp_path):
+    """The uint8 host pipeline (decode-domain uint8 + device-side /255,
+    round-4 e2e-throughput work) must produce the SAME eval metrics as the
+    legacy host-f32 pipeline: the device normalize is f32 /255 before the
+    working-dtype cast, bit-identical to the host conversion."""
+    from paif_tpu.cli.common import build_model, build_variables
+    from paif_tpu.data.datasets import FusionDataset
+    from paif_tpu.data.synthetic import make_synthetic_dataset
+    from paif_tpu.eval.harness import EvalConfig, run_eval
+    from paif_tpu.utils.config import load_config
+
+    make_synthetic_dataset(str(tmp_path), n=4, hw=(32, 32))
+    kw = dict(
+        ir_path=str(tmp_path / "Infrared"),
+        vi_path=str(tmp_path / "Visible"),
+        label_path=str(tmp_path / "Label"),
+    )
+    ds_u8 = FusionDataset(uint8=True, **kw)
+    ds_f32 = FusionDataset(uint8=False, **kw)
+    vis, ir, label, _ = ds_u8[0]
+    assert vis.dtype == np.uint8 and ir.dtype == np.uint8 and label.dtype == np.int32
+    np.testing.assert_array_equal(vis.astype(np.float32) / 255.0, ds_f32[0][0])
+
+    cfg = load_config(TINY)
+    model = build_model(cfg)
+    variables = build_variables(cfg, model, vis.shape[:2])
+    ecfg = EvalConfig(batch_size=2, use_mesh=False)
+    m_u8 = run_eval(model, variables, ds_u8, ecfg)
+    m_f32 = run_eval(model, variables, ds_f32, ecfg)
+    assert m_u8["iou_mean"] == m_f32["iou_mean"]
