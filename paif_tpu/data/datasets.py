@@ -64,18 +64,22 @@ def _load_label(path: str) -> np.ndarray:
     return np.array(Image.open(path), dtype=np.int64)
 
 
-def _load_label_i32(path: str) -> np.ndarray:
+def _load_label_u8(path: str) -> np.ndarray:
+    """uint8 labels: MFNet classes are 0-8 (+255 ignore), so the decoded u8
+    domain is lossless and the label H2D transfer shrinks 4x vs int32 —
+    at 480x640 the int32 label (1.23 MB/pair) outweighed the uint8 IMAGES;
+    the eval step casts to int32 on device (eval/harness.py)."""
     u8 = _native_decode(path, 1)
     if u8 is None:
-        return np.array(Image.open(path), dtype=np.int32)
-    return u8[..., 0].astype(np.int32)
+        return np.array(Image.open(path)).astype(np.uint8)
+    return u8[..., 0]
 
 
 class FusionDataset:
     """(vis (H,W,3), ir (H,W,1), label (H,W) int64, name) items.
 
     With `uint8=True` the host pipeline stays in the decoded uint8 domain
-    (vis/ir uint8, label int32): at 480x640 on this VM's single host core the
+    (vis/ir/label uint8): at 480x640 on this VM's single host core the
     f32 /255 conversion, the int64 PIL label load, and the 4-6x larger H2D
     transfer cost more than the PNG decode itself (round-4 microbench:
     43.6 pairs/s u8-decode-only vs 10.8 pairs/s e2e on the f32 path). The
@@ -103,9 +107,9 @@ class FusionDataset:
             vis = _load_rgb_u8(self.filepath_vis[index])
             ir = _load_gray_u8(self.filepath_ir[index])
             if self.filepath_label is not None:
-                label = _load_label_i32(self.filepath_label[index])
+                label = _load_label_u8(self.filepath_label[index])
             else:
-                label = np.zeros(vis.shape[:2], dtype=np.int32)
+                label = np.zeros(vis.shape[:2], dtype=np.uint8)
         else:
             vis = _load_rgb(self.filepath_vis[index])
             ir = _load_gray(self.filepath_ir[index])

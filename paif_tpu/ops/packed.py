@@ -128,7 +128,11 @@ def pack_kernel(w: jnp.ndarray, dilation: int = 1) -> Tuple[jnp.ndarray, Tuple[i
     sh = jnp.asarray(sh, w.dtype)
     sw = jnp.asarray(sw, w.dtype)
     # wp[a, b, pi, pj, qi, qj, c, o] = sum_{t,u} sh[a,pi,qi,t] sw[b,pj,qj,u] w[t,u,c,o]
-    wp = jnp.einsum("apqt,bPQu,tuco->abpPqQco", sh, sw, w)
+    # Explicit precision: TPU's DEFAULT einsum is single-pass bf16 even for
+    # f32 operands, which silently rounds the WEIGHTS on the f32 parity path
+    # (found round 4: the winograd A/B's 1.6e-2 "parity failure" was this
+    # rounding in the REFERENCE side, not the winograd transforms).
+    wp = jnp.einsum("apqt,bPQu,tuco->abpPqQco", sh, sw, w, precision=get_precision())
     kp_h, kp_w = 2 * rh + 1, 2 * rw + 1
     # -> (a, b, c, pi, pj, o, qi, qj) -> (k',k',4ci,4co)
     wp = wp.transpose(0, 1, 6, 2, 3, 7, 4, 5).reshape(kp_h, kp_w, 4 * ci, 4 * co)
@@ -188,7 +192,7 @@ def _block_diag_kernel(w: jnp.ndarray, groups: int) -> jnp.ndarray:
     cog = co // groups
     w5 = w.reshape(kh, kw, cig, groups, cog)
     eye = jnp.eye(groups, dtype=w.dtype)
-    dense = jnp.einsum("abigo,gh->abgiho", w5, eye)
+    dense = jnp.einsum("abigo,gh->abgiho", w5, eye, precision=get_precision())
     return dense.reshape(kh, kw, cig * groups, co)
 
 

@@ -152,7 +152,9 @@ def _z_weights(w: jnp.ndarray) -> jnp.ndarray:
     the weight of z's (c,1-pi,1-pj)."""
     kh, kw, ci, co = w.shape
     s = jnp.asarray(_z_scatter(kh), w.dtype)
-    wz = jnp.einsum("apqt,bPQu,tuco->abpPqQco", s, s, w)
+    from paif_tpu.nn.layers import get_precision
+
+    wz = jnp.einsum("apqt,bPQu,tuco->abpPqQco", s, s, w, precision=get_precision())
     # fold the complement: flip the (pi, pj) axes of the INPUT phase dims
     wz = wz[:, :, ::-1, ::-1]
     ka = s.shape[0]
