@@ -71,7 +71,13 @@ def _load_label_u8(path: str) -> np.ndarray:
     the eval step casts to int32 on device (eval/harness.py)."""
     u8 = _native_decode(path, 1)
     if u8 is None:
-        return np.array(Image.open(path)).astype(np.uint8)
+        arr = np.array(Image.open(path))
+        if arr.max(initial=0) > 255:
+            raise ValueError(
+                f"label {path} has values >255; the uint8 host path assumes "
+                "8-bit class ids (MFNet: 0-8 + 255 ignore). Use uint8=False."
+            )
+        return arr.astype(np.uint8)
     return u8[..., 0]
 
 

@@ -67,8 +67,7 @@ def make_eval_step(model, cfg: EvalConfig):
 
     work_dt = jnp.bfloat16 if cfg.input_dtype == "bfloat16" else jnp.float32
 
-    @jax.jit
-    def step(variables, ir, vis, label, valid, key):
+    def _step_body(variables, ir, vis, label, valid, key):
         # uint8 host path (single-core host: decode-only is 2x cheaper than
         # decode+f32, and H2D moves 4-6x fewer bytes): normalize on device.
         # f32 /255 then cast == the host path's numerics exactly.
@@ -104,6 +103,19 @@ def make_eval_step(model, cfg: EvalConfig):
             "vis_attacked": vis,
         }
 
+    step = jax.jit(_step_body)
+
+    @jax.jit
+    def step_combined(variables, buf, valid, key):
+        # PAIF_COMBINED_H2D: the host packs (vis3 | ir1 | label1) into ONE
+        # (B,H,W,5) uint8 buffer so each batch is a single device_put —
+        # fewer tunnel round trips on the one-core host (A/B: r5 h2d bench).
+        vis = buf[..., 0:3]
+        ir = buf[..., 3:4]
+        label = buf[..., 4].astype(jnp.int32)
+        return _step_body(variables, ir, vis, label, valid, key)
+
+    step.combined = step_combined
     return step
 
 
@@ -157,15 +169,28 @@ def run_eval(model, variables, dataset, cfg: EvalConfig) -> Dict[str, float]:
     timer = StepTimer(warmup=1)
 
     in_dt = np.dtype(jnp.bfloat16) if cfg.input_dtype == "bfloat16" else np.float32
+    # PAIF_COMBINED_H2D=1: pack the whole uint8 batch into ONE (B,H,W,5)
+    # buffer -> a single device_put per batch instead of four (each put is
+    # a separate tunnel transaction; measured in bench_logs/r5/h2d.log).
+    combined_ok = os.environ.get("PAIF_COMBINED_H2D", "0") not in ("0", "false", "off")
 
     def put(batch):
         ir, vis, label = batch["ir"], batch["vis"], batch["label"]
-        if ir.dtype != np.uint8:  # uint8 host path: normalize on device
-            ir = ir.astype(in_dt)
-            vis = vis.astype(in_dt)
-        if label.dtype == np.int64:  # halve the label H2D bytes
-            label = label.astype(np.int32)
-        arrays = (ir, vis, label, batch["valid"])
+        if (
+            combined_ok
+            and ir.dtype == np.uint8
+            and vis.dtype == np.uint8
+            and label.dtype == np.uint8
+        ):
+            buf = np.concatenate([vis, ir, label[..., None]], axis=-1)
+            arrays = (buf, batch["valid"])
+        else:
+            if ir.dtype != np.uint8:  # uint8 host path: normalize on device
+                ir = ir.astype(in_dt)
+                vis = vis.astype(in_dt)
+            if label.dtype == np.int64:  # halve the label H2D bytes
+                label = label.astype(np.int32)
+            arrays = (ir, vis, label, batch["valid"])
         if mesh is not None:
             arrays = shard_batch(mesh, arrays)
         else:
@@ -184,11 +209,24 @@ def run_eval(model, variables, dataset, cfg: EvalConfig) -> Dict[str, float]:
     t_steady = None
     flush_every = None  # set from the first batch's pixel count
     conf_host = np.zeros((cfg.num_classes, cfg.num_classes), dtype=np.int64)
-    for bidx, ((ir, vis, label, valid), batch) in enumerate(
-        device_prefetch(loader, put, depth=2)
-    ):
+    # PAIF_PUT_IN_LOADER=1: run device_put inside the prefetch THREAD so the
+    # tunnel transfer wait overlaps the consumer's dispatch work (on this
+    # one-core host the two cannot overlap as CPU, but a blocking put is
+    # mostly network wait — a thread hides it).
+    if os.environ.get("PAIF_PUT_IN_LOADER", "0") not in ("0", "false", "off"):
+        loader = PrefetchLoader(
+            lambda it=loader: (put(b) for b in it), prefetch=2
+        )
+        feed = device_prefetch(loader, lambda x: x, depth=1)
+    else:
+        feed = device_prefetch(loader, put, depth=2)
+    for bidx, (arrays, batch) in enumerate(feed):
+        label_shape = batch["label"].shape
         with timer:
-            out = step(variables, ir, vis, label, valid, jax.random.fold_in(key, bidx))
+            if len(arrays) == 2:  # combined single-buffer path
+                out = step.combined(variables, *arrays, jax.random.fold_in(key, bidx))
+            else:
+                out = step(variables, *arrays, jax.random.fold_in(key, bidx))
             conf_dev = out["conf"] if conf_dev is None else conf_dev + out["conf"]
             if cfg.save_dir:
                 _save_outputs(cfg, out, batch["name"], np.asarray(batch["valid"]))
@@ -197,7 +235,7 @@ def run_eval(model, variables, dataset, cfg: EvalConfig) -> Dict[str, float]:
             # overflows after ~2^31 pixels. Flush to the int64 host total
             # well before that — the flush is also the loop's backpressure
             # bound (at most `flush_every` dispatches in flight).
-            px = int(np.prod(label.shape))
+            px = int(np.prod(label_shape))
             flush_every = max(1, min(64, (2**31 - 1) // (2 * px)))
         if bidx == 0 and not cfg.save_dir:
             # Sync once after the first batch (absorbs compile + warmup) via
@@ -206,7 +244,7 @@ def run_eval(model, variables, dataset, cfg: EvalConfig) -> Dict[str, float]:
             float(jnp.sum(conf_dev.astype(jnp.float32)))
             t_steady = time.perf_counter()
         else:
-            pairs_timed += int(label.shape[0])
+            pairs_timed += int(label_shape[0])
         if flush_every and (bidx + 1) % flush_every == 0:
             conf_host += np.asarray(conf_dev).astype(np.int64)
             conf_dev = None

@@ -155,7 +155,7 @@ def main():
     fwd_grad("decom", decom, 2, init_packed(decom, 2))
 
     # 2. the same cell with the guided-filter split stubbed to a zero-cost
-    # one (shapes preserved: LF = x repeated per eps, HF = 0.5x) — the
+    # one (shapes preserved: LF = 0.75x repeated per eps, HF = 0.25x) — the
     # decom-minus-this difference is the GF's in-context cost.
     real_decompose = cells_mod.decompose
 

@@ -391,7 +391,7 @@ def test_uint8_host_path_matches_f32(tmp_path):
     ds_u8 = FusionDataset(uint8=True, **kw)
     ds_f32 = FusionDataset(uint8=False, **kw)
     vis, ir, label, _ = ds_u8[0]
-    assert vis.dtype == np.uint8 and ir.dtype == np.uint8 and label.dtype == np.int32
+    assert vis.dtype == np.uint8 and ir.dtype == np.uint8 and label.dtype == np.uint8
     np.testing.assert_array_equal(vis.astype(np.float32) / 255.0, ds_f32[0][0])
 
     cfg = load_config(TINY)
