@@ -14,7 +14,8 @@ LOG=bench_logs/r5/train_aat_2k.log
 mkdir -p bench_logs/r5 checkpoints
 
 RESUME=${1:-}
-ARGS=(--synthetic --max_iters 2000 --save_every 200 --out checkpoints/aat_r5)
+ARGS=(--config paif_tpu/configs/aat_synth_256.yaml --synthetic
+      --max_iters 2000 --save_every 200 --out checkpoints/aat_r5)
 [ -n "$RESUME" ] && ARGS+=(--resume "$RESUME")
 
 python -m paif_tpu.cli.train_aat "${ARGS[@]}" >> "$LOG" 2>&1 &
