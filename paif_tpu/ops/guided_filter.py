@@ -237,14 +237,35 @@ def _helpers(packed: bool, src_width: int, guide_width: int, allow_pallas: bool 
         return tile_gate_packed(t, c) if packed and t.shape[-1] * c == src_width else t
 
     def unwiden(t):
-        """Adjoint of widen: reduce a src-width cotangent to guide width."""
+        """Adjoint of widen: reduce a src-width cotangent to guide width.
+
+        Packed route: a (4C,4) 0/1 lane-selection MATMUL instead of the
+        reshape(...,C,4).sum(-2) stride-4 cross-lane reduction — the
+        reshape form is a relayout-class op on TPU (measured 1.40 vs 0.33
+        ms per call at (16,240,320,128) bf16, bench_logs/r5/widen_ops.log).
+        """
         if t.shape[-1] == guide_width:
             return t
         if packed:
+            if os.environ.get("PAIF_UNWIDEN_MM", "1") not in ("0", "false", "off"):
+                from paif_tpu.nn.layers import get_precision
+
+                sel = _phase_select(t.shape[-1])
+                return jnp.einsum(
+                    "...l,lp->...p", t, jnp.asarray(sel, t.dtype), precision=get_precision()
+                )
             return t.reshape(*t.shape[:-1], c, 4).sum(-2)
         return t.sum(-1, keepdims=True)
 
     return bf, widen, unwiden
+
+
+@lru_cache(maxsize=8)
+def _phase_select(c4: int) -> np.ndarray:
+    """(4C,4) 0/1 matrix: column p selects lanes with phase l%4 == p."""
+    sel = np.zeros((c4, 4), np.float32)
+    sel[np.arange(c4), np.arange(c4) % 4] = 1.0
+    return sel
 
 
 def _gf_forward(packed, r, eps_list, guide, src, allow_pallas=True, diff_fused=False):
@@ -366,10 +387,16 @@ def _gf_backward(packed, r, eps_list, res, cots):
     d_mgx = jnp.zeros_like(mean_g)
     d_cov = jnp.zeros_like(cov_gs)
     d_var = jnp.zeros_like(var_g32)
-    # all per-eps cotangent pre-products exist up front: box them together
-    boxed = box_group([t for ybar in cots for t in (ybar * guide_w * inv_n_x, ybar * inv_n_x)])
+    # All per-eps cotangent pre-products exist up front: box them together.
+    # (guide * inv_n) is widened ONCE — associativity of the pre-product,
+    # one src-width multiply per tensor instead of two (r5 glue reduction,
+    # bench_logs/r5/gf_grad_bisect.log: 30.4 ms of the 46.2 ms backward is
+    # elementwise passes).
+    gin = widen(guide * inv_n.astype(dt))
+    boxed = box_group([t for ybar in cots for t in (ybar * gin, ybar * inv_n_x)])
     for i, (eps, ybar, mean_a) in enumerate(zip(eps_list, cots, mean_as)):
-        k = widen((1.0 / (var_g32 + eps)).astype(dt))
+        k32 = 1.0 / (var_g32 + eps)
+        k = widen(k32.astype(dt))
         a = cov_gs * k
         d_gw = d_gw + ybar * mean_a
         d_a = boxed[2 * i]  # through mean_a = bf(a)*inv_n
@@ -378,9 +405,12 @@ def _gf_backward(packed, r, eps_list, res, cots):
         d_ms = d_ms + d_b
         d_a = d_a - d_b * mean_g
         d_mgx = d_mgx - d_b * a
-        # a = cov * k
-        d_cov = d_cov + d_a * k
-        d_var = d_var - unwiden((d_a * cov_gs * k * k).astype(jnp.float32))
+        # a = cov * k ; k is constant across the C copies within a phase, so
+        # one k factors OUT of the unwiden sum: unwiden(t*cov*k) * k32 ==
+        # unwiden(t*cov*k*k) with 2 fewer src-width multiplies
+        t = d_a * k
+        d_cov = d_cov + t
+        d_var = d_var - k32 * unwiden((t * cov_gs).astype(jnp.float32))
     # cov = bf(gw*src)*inv_n - mean_g*mean_s ; mean_s = bf(src)*inv_n
     d_ms_f = d_ms - d_cov * mean_g
     d_t, d_s2 = box_group([d_cov * inv_n_x, d_ms_f * inv_n_x])
@@ -393,7 +423,9 @@ def _gf_backward(packed, r, eps_list, res, cots):
     # var = bf(g32^2)*inv_n - mean_g32^2
     d_m32 = d_m32 - 2.0 * mean_g32 * d_var
     g32 = guide.astype(jnp.float32)
-    d_g32 = 2.0 * g32 * bf(d_var * inv_n, r) + bf(d_m32 * inv_n, r)
+    # the two guide-width f32 boxes are independent: one batch-stacked call
+    bv, bm = jnp.split(bf(jnp.concatenate([d_var * inv_n, d_m32 * inv_n], axis=0), r), 2, axis=0)
+    d_g32 = 2.0 * g32 * bv + bm
     # guide enters via g32 and guide_w
     d_guide = d_g32.astype(guide.dtype) + unwiden(d_gw)
     return d_guide, d_src
