@@ -98,17 +98,68 @@ class FusionDataset:
         vi_path: str,
         label_path: Optional[str] = None,
         uint8: bool = False,
+        cache_dir: Optional[str] = None,
     ):
         self.filepath_vis, self.filenames = prepare_data_path(vi_path)
         self.filepath_ir, _ = prepare_data_path(ir_path)
         self.filepath_label = prepare_data_path(label_path)[0] if label_path else None
         self.length = min(len(self.filepath_vis), len(self.filepath_ir))
         self.uint8 = uint8
+        # Decode-once raw-tensor cache (uint8 mode only): one .npy memmap per
+        # field, written on first construction, served as zero-decode slices
+        # afterwards. On this VM's single host core the PNG decode is the
+        # eval loop's floor (~11 ms/pair, docs/PERF.md round-4) — a repeat
+        # eval over the same files skips it entirely. Requires homogeneous
+        # image shapes (eval sets are); falls back silently otherwise.
+        self.cache = None
+        if cache_dir and uint8:
+            try:
+                self.cache = self._build_cache(cache_dir)
+            except ValueError:
+                self.cache = None
+
+    def _build_cache(self, cache_dir: str):
+        os.makedirs(cache_dir, exist_ok=True)
+        probe = _load_rgb_u8(self.filepath_vis[0])
+        h, w = probe.shape[:2]
+        spec = {
+            "vis": (self.length, h, w, 3),
+            "ir": (self.length, h, w, 1),
+            "label": (self.length, h, w),
+        }
+        paths = {k: os.path.join(cache_dir, f"{k}.npy") for k in spec}
+        done = os.path.join(cache_dir, f".done_{self.length}_{h}x{w}")
+        if not os.path.exists(done):
+            mms = {
+                k: np.lib.format.open_memmap(p, mode="w+", dtype=np.uint8, shape=spec[k])
+                for k, p in paths.items()
+            }
+            for i in range(self.length):
+                vis = _load_rgb_u8(self.filepath_vis[i])
+                ir = _load_gray_u8(self.filepath_ir[i])
+                if vis.shape[:2] != (h, w) or ir.shape[:2] != (h, w):
+                    raise ValueError("inhomogeneous image shapes; cache disabled")
+                mms["vis"][i] = vis
+                mms["ir"][i] = ir
+                if self.filepath_label is not None:
+                    mms["label"][i] = _load_label_u8(self.filepath_label[i])
+            for m in mms.values():
+                m.flush()
+            open(done, "w").close()
+        return {k: np.load(p, mmap_mode="r") for k, p in paths.items()}
 
     def __len__(self) -> int:
         return self.length
 
     def __getitem__(self, index: int):
+        if self.cache is not None:
+            name = os.path.basename(self.filepath_vis[index])
+            return (
+                np.asarray(self.cache["vis"][index]),
+                np.asarray(self.cache["ir"][index]),
+                np.asarray(self.cache["label"][index]),
+                name,
+            )
         if self.uint8:
             vis = _load_rgb_u8(self.filepath_vis[index])
             ir = _load_gray_u8(self.filepath_ir[index])

@@ -201,3 +201,41 @@ def test_random_crop_bounds_fractional_size(monkeypatch, rng):
 
     o_img, _ = our_aug.RandomCrop(crop_rate=0.1, prob=1.0)(img.copy(), lab.copy(), _Script())
     assert o_img.shape == r_img.shape
+
+
+def test_fusion_dataset_tensor_cache(tmp_path, rng):
+    """cache_dir: decode-once memmap serves items identical to direct decode
+    and survives re-construction (round-5 e2e input-path item)."""
+    from PIL import Image
+
+    from paif_tpu.data.datasets import FusionDataset
+
+    for sub in ("ir", "vi", "label"):
+        (tmp_path / sub).mkdir()
+    for i in range(3):
+        vis = rng.integers(0, 256, (32, 40, 3)).astype(np.uint8)
+        ir = rng.integers(0, 256, (32, 40)).astype(np.uint8)
+        lab = rng.integers(0, 9, (32, 40)).astype(np.uint8)
+        Image.fromarray(vis).save(tmp_path / "vi" / f"{i}.png")
+        Image.fromarray(ir).save(tmp_path / "ir" / f"{i}.png")
+        Image.fromarray(lab).save(tmp_path / "label" / f"{i}.png")
+
+    kw = dict(
+        ir_path=str(tmp_path / "ir"),
+        vi_path=str(tmp_path / "vi"),
+        label_path=str(tmp_path / "label"),
+        uint8=True,
+    )
+    plain = FusionDataset(**kw)
+    cached = FusionDataset(**kw, cache_dir=str(tmp_path / "cache"))
+    assert cached.cache is not None
+    reread = FusionDataset(**kw, cache_dir=str(tmp_path / "cache"))  # reuse
+    for ds in (cached, reread):
+        for i in range(3):
+            pv, pi, pl, pn = plain[i]
+            cv, ci, cl, cn = ds[i]
+            assert pn == cn
+            np.testing.assert_array_equal(pv, cv)
+            np.testing.assert_array_equal(pi, ci)
+            np.testing.assert_array_equal(pl, cl)
+            assert cv.dtype == ci.dtype == cl.dtype == np.uint8
