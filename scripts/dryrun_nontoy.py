@@ -79,8 +79,14 @@ def main():
     t0 = time.time()
     m_one = run_eval(model, variables, ds, EvalConfig(batch_size=8, use_mesh=False))
     print(f"single eval {time.time() - t0:.1f}s  mIoU={m_one['iou_mean']:.6f}", flush=True)
-    assert m_mesh["iou_mean"] == m_one["iou_mean"], (m_mesh, m_one)
-    assert m_mesh["acc_mean"] == m_one["acc_mean"]
+    # Tolerance, not equality: the sharded (per-device batch 1) and
+    # unsharded (batch 8) programs are DIFFERENT compilations — bf16
+    # codegen/fusion order differs, flipping argmaxes at near-ties. First
+    # run measured |d mIoU| = 1.8e-8 (bench_logs/r5/dryrun_nontoy.log);
+    # anything above 1e-4 would indicate a real sharding bug (wrong psum,
+    # padded-row leakage), not rounding.
+    assert abs(m_mesh["iou_mean"] - m_one["iou_mean"]) < 1e-4, (m_mesh, m_one)
+    assert abs(m_mesh["acc_mean"] - m_one["acc_mean"]) < 1e-4, (m_mesh, m_one)
     print("DP eval @ 240x320 packed, padded batch: mesh == single-device OK", flush=True)
 
     # 2. one AAT train step on the mesh at the same shape (remat model, PGD-1)
