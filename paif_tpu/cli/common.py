@@ -147,7 +147,11 @@ def build_variables(cfg: Config, model: PAIFJoint, image_hw: Tuple[int, int]):
 def build_dataset(cfg: Config, uint8: bool = False):
     """`uint8=True` keeps the host pipeline in the decoded uint8 domain (the
     eval harness normalizes on device) — only for consumers that go through
-    `run_eval`; `fuse`/`train_aat` index items directly and expect float32."""
+    `run_eval`; `fuse`/`train_aat` index items directly and expect float32.
+
+    PAIF_TENSOR_CACHE=<dir>: decode-once memmap tensor cache (uint8 mode) —
+    repeat evals over the same files skip the PNG decode floor entirely
+    (data/datasets.FusionDataset cache_dir)."""
     d = cfg.dataset
     if d.synthetic or not (d.ir_path and d.vi_path):
         from paif_tpu.data.synthetic import make_synthetic_dataset
@@ -157,7 +161,11 @@ def build_dataset(cfg: Config, uint8: bool = False):
     from paif_tpu.data.datasets import FusionDataset
 
     return FusionDataset(
-        ir_path=d.ir_path, vi_path=d.vi_path, label_path=d.label_path, uint8=uint8
+        ir_path=d.ir_path,
+        vi_path=d.vi_path,
+        label_path=d.label_path,
+        uint8=uint8,
+        cache_dir=os.environ.get("PAIF_TENSOR_CACHE") if uint8 else None,
     )
 
 
