@@ -1,5 +1,7 @@
 """Pipeline parallelism (GPipe-style) for the joint model over a `pp` mesh
 axis: stage 0 = fusion branch + normalize chain, stage 1 = SegFormer.
+Forward schedules (shard_map and multi-jit) plus a TRAINING schedule with
+the GPipe backward (make_pp_train_step, round 5).
 
 TPU-native expression: `shard_map` over the mesh gives per-device SPMD
 code; the stage handoff is ONE `lax.ppermute` of the stage-0 activation
@@ -195,3 +197,169 @@ def make_pp_forward_multijit(
         return jnp.concatenate(fused_out), jnp.concatenate(seg_out)
 
     return pp_forward
+
+
+def make_pp_train_step(
+    model,
+    mesh0: Mesh,
+    mesh1: Mesh,
+    fusion_loss_fn,
+    fusion_weight: float = 0.1,
+    seg_weight: float = 4.0,
+    data_axis: str = "data",
+):
+    """2-stage GPipe TRAINING schedule on disjoint submeshes (round 5).
+
+    Closes the PP-is-eval-only scope limit (PARITY.md §2.9): the standard
+    joint training objective (train/aat.joint_loss — 0.1*fusion + 4*seg CE,
+    reference `_loss` core/model_fusion_auto.py:1093-1100) runs with stage 0
+    (fusion branch + normalize chain, its params AND BatchNorm stats) on
+    mesh0 and stage 1 (SegFormer, dropout/droppath rngs) on mesh1, each an
+    ordinary GSPMD program over its own (data[, model]) submesh.
+
+    Schedule per global batch of M microbatches (GPipe with recompute):
+      fwd loop:  stage0_fwd(t) for t=0..M-1 — emits x_seg(t), chains the
+                 BN stats; only x_seg (mb,H,W,3) crosses the meshes.
+      bwd loop:  stage1_grad(t) -> (d v1, d_xseg) on mesh1, then
+                 stage0_grad(t) on mesh0 RECOMPUTES its forward (no stored
+                 activations) and backprops fusion loss + <x_seg, d_xseg>.
+                 The two run on disjoint submeshes, so async dispatch
+                 overlaps stage1_grad(t+1) with stage0_grad(t) — the GPipe
+                 steady state.
+      update:    per-microbatch grads averaged, one optimizer step per
+                 stage (disjoint param subtrees: elementwise AdamW per
+                 stage == the single-tree update).
+
+    Microbatching semantics match sequential gradient accumulation (each
+    microbatch's grads at its own running BN stats, stats chained fwd) —
+    verified to 1e-5 against the single-device reference in
+    tests/test_pp.py::test_pp_train_step_matches_grad_accum.
+
+    Scope: the standard joint step. AAT's in-step PGD crafting
+    differentiates through BOTH stages per attack iter, which would ping-
+    pong activations across the pipeline boundary 2K times per step — on
+    one host that serializes; AAT stays on the DP path (train/aat.py).
+
+    Returns step(state0, state1, ir, vis, mask, labels, key, microbatches)
+    -> (state0', state1', metrics).
+    """
+    from paif_tpu.ops.color import rgb_to_ycrcb
+    from paif_tpu.ops.losses import cross_entropy_ignore
+    from paif_tpu.ops.resize import resize_bilinear
+
+    d0 = NamedSharding(mesh0, P(data_axis))
+    d1 = NamedSharding(mesh1, P(data_axis))
+
+    @jax.jit
+    def stage0_fwd(v0p, v0s, ir, vis):
+        (fused), mut = model.apply(
+            {"params": v0p, "batch_stats": v0s},
+            ir,
+            vis,
+            True,
+            method=lambda mm, i, s, tr: mm.fuse(i, s, tr),
+            mutable=["batch_stats"],
+        )
+        x_seg = model.apply(
+            {"params": v0p}, fused, vis, method=lambda mm, f, s: mm.seg_input(f, s)
+        )
+        return x_seg, mut["batch_stats"]
+
+    @jax.jit
+    def stage1_grad(v1p, v1s, x_seg, labels, key):
+        # the SegFormer head carries BatchNorm stats (decoder fuse_norm):
+        # mutable forward, stats chained across microbatches by the caller
+        def loss(v1p_, x_):
+            seg, mut = model.apply(
+                {"params": v1p_, "batch_stats": v1s},
+                x_,
+                method=lambda mm, x: mm.denoise_net(x, train=True),
+                mutable=["batch_stats"],
+                rngs={"dropout": key, "droppath": jax.random.fold_in(key, 1)},
+            )
+            out = resize_bilinear(seg, labels.shape[1:3], align_corners=False)
+            ce = cross_entropy_ignore(out, labels)
+            return seg_weight * ce, (ce, mut["batch_stats"])
+
+        (_, (ce, new_s)), (g_v1, d_xseg) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(v1p, x_seg)
+        return ce, g_v1, d_xseg, new_s
+
+    @jax.jit
+    def stage0_grad(v0p, v0s, ir, vis, mask, d_xseg):
+        def loss(v0p_):
+            fused = model.apply(
+                {"params": v0p_, "batch_stats": v0s},
+                ir,
+                vis,
+                True,
+                method=lambda mm, i, s, tr: mm.fuse(i, s, tr),
+                mutable=["batch_stats"],
+            )[0]
+            x_seg = model.apply(
+                {"params": v0p_}, fused, vis, method=lambda mm, f, s: mm.seg_input(f, s)
+            )
+            enh = fusion_loss_fn(ir, rgb_to_ycrcb(vis), fused, mask)
+            # <x_seg, d_xseg> seeds the pipeline cotangent; its grad wrt
+            # v0p is exactly the chain rule through the stage boundary
+            total = fusion_weight * enh + jnp.sum(x_seg * d_xseg)
+            return total, enh
+
+        (_, enh), g_v0 = jax.value_and_grad(loss, has_aux=True)(v0p)
+        return enh, g_v0
+
+    def step(state0, state1, ir, vis, mask, labels, key, microbatches: int):
+        n = ir.shape[0]
+        assert n % microbatches == 0, (n, microbatches)
+        mb = n // microbatches
+        stats = state0.batch_stats
+        stats_per_t, xsegs = [], []
+        for t in range(microbatches):
+            sl = slice(t * mb, (t + 1) * mb)
+            stats_per_t.append(stats)
+            x_seg, stats = stage0_fwd(
+                state0.params,
+                stats,
+                jax.device_put(ir[sl], d0),
+                jax.device_put(vis[sl], d0),
+            )
+            xsegs.append(jax.device_put(x_seg, d1))
+        g0_acc = g1_acc = None
+        ce_sum = enh_sum = 0.0
+        stats1 = state1.batch_stats
+        for t in range(microbatches):
+            sl = slice(t * mb, (t + 1) * mb)
+            ce, g_v1, d_xseg, stats1 = stage1_grad(
+                state1.params,
+                stats1,
+                xsegs[t],
+                jax.device_put(labels[sl], d1),
+                jax.random.fold_in(key, t),
+            )
+            enh, g_v0 = stage0_grad(
+                state0.params,
+                stats_per_t[t],
+                jax.device_put(ir[sl], d0),
+                jax.device_put(vis[sl], d0),
+                jax.device_put(mask[sl], d0),
+                jax.device_put(d_xseg, d0),
+            )
+            add = lambda a, b: b if a is None else jax.tree_util.tree_map(jnp.add, a, b)
+            g0_acc, g1_acc = add(g0_acc, g_v0), add(g1_acc, g_v1)
+            ce_sum, enh_sum = ce_sum + ce, enh_sum + enh
+        scale = 1.0 / microbatches
+        g0 = jax.tree_util.tree_map(lambda g: g * scale, g0_acc)
+        g1 = jax.tree_util.tree_map(lambda g: g * scale, g1_acc)
+        state0 = state0.apply_gradients(g0, stats)
+        state1 = state1.apply_gradients(g1, stats1)
+        # ce lives on mesh1, enh on mesh0 — combine on host (two syncs/step)
+        ce_m, enh_m = float(ce_sum) * scale, float(enh_sum) * scale
+        metrics = {
+            "seg_ce": ce_m,
+            "fusion": enh_m,
+            "loss": seg_weight * ce_m + fusion_weight * enh_m,
+        }
+        return state0, state1, metrics
+
+    return step

@@ -79,3 +79,76 @@ def test_pp_multijit_composes_dp_tp():
     fused_pp, seg_pp = fwd(v0, v1, ir, vis, microbatches=2)
     np.testing.assert_allclose(np.asarray(fused_pp), np.asarray(fused_ref), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(seg_pp), np.asarray(seg_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pp_train_step_matches_grad_accum():
+    """GPipe training step (per-stage submeshes, recompute backward) ==
+    sequential gradient accumulation over the same microbatches on a single
+    device: chained BN stats, per-microbatch grads at their own stats,
+    averaged, one AdamW update."""
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 devices")
+    from paif_tpu.losses.fusion import fusion_loss_grad2
+    from paif_tpu.parallel.pp import make_pp_train_step
+    from paif_tpu.train.aat import TrainConfig, create_train_state, joint_loss
+
+    model = PAIFJoint(
+        backbone="mit_b0", num_classes=9, fusion=lambda: FusionNetSearched(8)
+    )
+    rng = np.random.default_rng(0)
+    B, M = 4, 2
+    ir = jnp.asarray(rng.uniform(0, 1, (B, 32, 32, 1)), jnp.float32)
+    vis = jnp.asarray(rng.uniform(0, 1, (B, 32, 32, 3)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(0, 1, (B, 32, 32, 1)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 9, (B, 32, 32)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ir[:1], vis[:1])
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_iter=1, max_iter=10)
+    key = jax.random.PRNGKey(7)
+
+    # reference: sequential grad accumulation, single device
+    state_ref = create_train_state(model, variables, tcfg)
+    stats = state_ref.batch_stats
+    mb = B // M
+    grads = None
+    for t in range(M):
+        sl = slice(t * mb, (t + 1) * mb)
+
+        def loss_fn(p, stats=stats, sl=sl, t=t):
+            return joint_loss(
+                model, p, stats, ir[sl], vis[sl], mask[sl], labels[sl],
+                jax.random.fold_in(key, t), fusion_loss_grad2, 0.1, 4.0,
+            )
+
+        (_, (stats, _m)), g = jax.value_and_grad(loss_fn, has_aux=True)(state_ref.params)
+        grads = g if grads is None else jax.tree_util.tree_map(jnp.add, grads, g)
+    grads = jax.tree_util.tree_map(lambda x: x / M, grads)
+    state_ref = state_ref.apply_gradients(grads, stats)
+
+    # PP: stage submeshes of 2 devices each
+    from jax.sharding import Mesh as _Mesh
+
+    mesh0 = _Mesh(np.asarray(devs[:2]), axis_names=("data",))
+    mesh1 = _Mesh(np.asarray(devs[2:4]), axis_names=("data",))
+    v0, v1 = split_variables_pp(variables)
+    state0 = create_train_state(model, v0, tcfg)
+    state1 = create_train_state(model, v1, tcfg)
+    step = make_pp_train_step(model, mesh0, mesh1, fusion_loss_grad2, 0.1, 4.0)
+    state0, state1, metrics = step(state0, state1, ir, vis, mask, labels, key, M)
+
+    ref0, ref1 = split_variables_pp({"params": state_ref.params})
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
+        state0.params, ref0["params"],
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
+        state1.params, ref1["params"],
+    )
+    # chained BN stats must match too
+    ref_s0, _ = split_variables_pp({"batch_stats": state_ref.batch_stats})
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        state0.batch_stats, ref_s0["batch_stats"],
+    )
+    assert np.isfinite(float(metrics["loss"]))
