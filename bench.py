@@ -104,23 +104,42 @@ def main():
     os.environ.setdefault("PAIF_PRECISION", "default")  # bf16 fast path
     t0 = time.perf_counter()
     ih, iw = INIT_HW
-    # jit the init: eagerly it is thousands of tiny dispatches, each paying
-    # the ~122 ms tunnel sync (BENCH_r03 measured 243.8 s of init); as ONE
-    # compiled program it is a single dispatch and persistently cacheable.
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, ih, iw, 1), jnp.float32),
-        jnp.zeros((1, ih, iw, 3), jnp.float32),
-    )
-    # force completion so the logged time is honest (readback = hard sync)
-    float(jnp.sum(variables["params"]["denoise_net"]["decoder"]["linear_pred"]["bias"]))
-    log(f"init: {time.perf_counter() - t0:.1f}s")
+    # Init on the IN-PROCESS CPU backend when the main backend is a remote
+    # TPU: the axon backend re-pays ~300 s for the init program per process
+    # even with a warm persistent cache (round-5 validation:
+    # bench_logs/r5/make_bench_cache.log), while the CPU compile is local,
+    # fast, and reliably cached. Param values are backend-independent; the
+    # bf16 cast also runs on CPU (eager per-leaf casts are ~free there but
+    # ~700 x ~122 ms tunnel dispatches on axon), and ONE device_put ships
+    # the bf16 tree to the chip.
+    init_dev = None
+    if jax.devices()[0].platform != "cpu":
+        try:
+            init_dev = jax.local_devices(backend="cpu")[0]
+        except Exception:  # no CPU backend registered: init on the default
+            init_dev = None
+    import contextlib
+
+    with jax.default_device(init_dev) if init_dev is not None else contextlib.nullcontext():
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, ih, iw, 1), jnp.float32),
+            jnp.zeros((1, ih, iw, 3), jnp.float32),
+        )
+        # force completion so the logged time is honest (readback = hard sync)
+        float(jnp.sum(variables["params"]["denoise_net"]["decoder"]["linear_pred"]["bias"]))
+    log(f"init: {time.perf_counter() - t0:.1f}s" + (" (cpu)" if init_dev is not None else ""))
 
     # bfloat16 params + inputs: the TPU fast path (f32 parity is tested in CI)
     bf16 = lambda t: jax.tree_util.tree_map(  # noqa: E731
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
     )
+    t0 = time.perf_counter()
     variables_b = dict(variables, params=bf16(variables["params"]))
+    if init_dev is not None:
+        variables_b = jax.device_put(variables_b, jax.devices()[0])
+        jax.block_until_ready(variables_b)
+        log(f"param cast+transfer: {time.perf_counter() - t0:.1f}s")
     ir_b, vis_b = ir.astype(jnp.bfloat16), vis.astype(jnp.bfloat16)
 
     if use_dp:
