@@ -401,3 +401,48 @@ def test_uint8_host_path_matches_f32(tmp_path):
     m_u8 = run_eval(model, variables, ds_u8, ecfg)
     m_f32 = run_eval(model, variables, ds_f32, ecfg)
     assert m_u8["iou_mean"] == m_f32["iou_mean"]
+
+
+def test_eval_input_path_knob_parity(tmp_path, monkeypatch):
+    """Every input-path variant (combined single-buffer H2D, device_put in
+    the loader thread, decode-once tensor cache) must produce identical
+    eval metrics to the default uint8 path — they are transport changes,
+    not numeric ones (round-5 e2e A/B, scripts/bench_eval_e2e_ab.py)."""
+    from paif_tpu.cli.common import build_model, build_variables
+    from paif_tpu.data.datasets import FusionDataset
+    from paif_tpu.data.synthetic import make_synthetic_dataset
+    from paif_tpu.eval.harness import EvalConfig, run_eval
+    from paif_tpu.utils.config import load_config
+
+    make_synthetic_dataset(str(tmp_path), n=4, hw=(32, 32))
+    kw = dict(
+        ir_path=str(tmp_path / "Infrared"),
+        vi_path=str(tmp_path / "Visible"),
+        label_path=str(tmp_path / "Label"),
+    )
+    ds_u8 = FusionDataset(uint8=True, **kw)
+    ds_cache = FusionDataset(uint8=True, cache_dir=str(tmp_path / "cache"), **kw)
+    assert ds_cache.cache is not None
+
+    cfg = load_config(TINY)
+    model = build_model(cfg)
+    variables = build_variables(cfg, model, ds_u8[0][0].shape[:2])
+    ecfg = EvalConfig(batch_size=2, use_mesh=False)
+
+    for k in ("PAIF_COMBINED_H2D", "PAIF_PUT_IN_LOADER"):
+        monkeypatch.delenv(k, raising=False)
+    base = run_eval(model, variables, ds_u8, ecfg)
+    variants = {
+        "combined": {"PAIF_COMBINED_H2D": "1"},
+        "loader_put": {"PAIF_PUT_IN_LOADER": "1"},
+        "both": {"PAIF_COMBINED_H2D": "1", "PAIF_PUT_IN_LOADER": "1"},
+    }
+    for name, env in variants.items():
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        m = run_eval(model, variables, ds_u8, ecfg)
+        assert m["iou_mean"] == base["iou_mean"], name
+        for k in env:
+            monkeypatch.delenv(k)
+    m_cache = run_eval(model, variables, ds_cache, ecfg)
+    assert m_cache["iou_mean"] == base["iou_mean"]
