@@ -65,11 +65,26 @@ def restore_train_state(path: str, state: Any) -> Any:
 
 
 def load_any_checkpoint(path: str, entries=None, template=None) -> Any:
-    """Dispatch: .pth -> torch importer (needs `entries`); dir -> orbax."""
+    """Dispatch: .pth -> torch importer (needs `entries`); dir -> orbax.
+
+    Orbax dirs may hold either a plain VARIABLES tree or a full TRAIN STATE
+    (save_train_state: step/params/batch_stats/opt_state — what train_aat
+    writes every --save_every). Eval consumers want variables, so a
+    train-state dir is detected and its params/batch_stats extracted —
+    `--checkpoint checkpoints/aat/step_2000` works directly in the eval
+    CLIs (round-5 fix; the template-shaped restore fails on the extra
+    opt_state subtree otherwise)."""
     if path.endswith((".pth", ".pt")):
         from paif_tpu.io.torch_import import load_torch_state_dict, to_flax_variables
 
         if entries is None:
             raise ValueError("importing a torch checkpoint requires a key-mapping entries list")
         return to_flax_variables(load_torch_state_dict(path), entries, template)
-    return load_variables(path, template)
+    try:
+        return load_variables(path, template)
+    except ValueError:
+        raw = load_variables(path)  # structure as saved
+        if isinstance(raw, dict) and "opt_state" in raw and "params" in raw:
+            out = {"params": raw["params"], "batch_stats": raw.get("batch_stats") or {}}
+            return out
+        raise

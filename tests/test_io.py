@@ -92,3 +92,35 @@ def test_load_torch_pth_file_end_to_end(tmp_path, rng):
         ).numpy()
     got = np.asarray(model.apply(variables, ir, vis))
     np.testing.assert_allclose(got[..., 0], want[:, 0], atol=2e-5, rtol=1e-4)
+
+
+def test_load_any_checkpoint_accepts_train_state_dir(tmp_path):
+    """Eval CLIs pointed at a train_aat step_N dir (full train state incl.
+    opt_state) must load its params/batch_stats as variables (round-5 fix:
+    the template-shaped orbax restore fails on the extra subtrees)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from paif_tpu.io.checkpoint import load_any_checkpoint, save_train_state
+    from paif_tpu.train.aat import TrainState
+
+    params = {"dense": {"w": jnp.ones((3, 3)), "b": jnp.zeros((3,))}}
+    bs = {"norm": {"mean": jnp.full((3,), 0.5)}}
+    tx = optax.adamw(1e-3)
+    state = TrainState(
+        step=jnp.asarray(7, jnp.int32),
+        params=params,
+        batch_stats=bs,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+    path = str(tmp_path / "step_7")
+    save_train_state(path, state)
+
+    template = {"params": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "batch_stats": jax.tree_util.tree_map(jnp.zeros_like, bs)}
+    out = load_any_checkpoint(path, template=template)
+    assert set(out) == {"params", "batch_stats"}
+    np.testing.assert_array_equal(out["params"]["dense"]["w"], np.ones((3, 3)))
+    np.testing.assert_array_equal(out["batch_stats"]["norm"]["mean"], np.full((3,), 0.5))
