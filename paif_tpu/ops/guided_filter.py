@@ -315,14 +315,18 @@ def _gf_forward(packed, r, eps_list, guide, src, allow_pallas=True, diff_fused=F
     else:
         mean_s = bf(src, r) * inv_n_x
         cov_gs = bf(guide_w * src, r) * inv_n_x - mean_g * mean_s
-    a_bs = []
-    for eps in eps_list:
-        a = cov_gs * widen((1.0 / (var_g32 + eps)).astype(src.dtype))
-        a_bs.extend([a, mean_s - a * mean_g])
-    if fused:
-        boxed = box_multi_packed_pallas(a_bs, r)
+    ks = [widen((1.0 / (var_g32 + eps)).astype(src.dtype)) for eps in eps_list]
+    if fused and fused_stageb_enabled():
+        from paif_tpu.ops.pallas.box_filter import box_gf_stageb_packed_pallas
+
+        # per-eps (a, b) formed in the kernel's VMEM — see stage-B kernel
+        boxed = box_gf_stageb_packed_pallas(cov_gs, mean_s, mean_g, ks, r)
     else:
-        boxed = [bf(t, r) for t in a_bs]
+        a_bs = []
+        for k in ks:
+            a = cov_gs * k
+            a_bs.extend([a, mean_s - a * mean_g])
+        boxed = box_multi_packed_pallas(a_bs, r) if fused else [bf(t, r) for t in a_bs]
     outs = []
     mean_as = []
     for i in range(len(eps_list)):
@@ -346,6 +350,23 @@ def pallas_box_diff_enabled() -> bool:
     return os.environ.get("PAIF_PALLAS_BOX_DIFF", "1") not in ("0", "false", "off")
 
 
+def fused_stageb_enabled() -> bool:
+    """PAIF_FUSED_GF_STAGEB: form the per-eps (a, b) stage-B coefficients
+    inside the fused box kernel's VMEM instead of materializing four
+    src-width HBM temps per call. Applies to both the primal forward and
+    the fused differentiated forward."""
+    return os.environ.get("PAIF_FUSED_GF_STAGEB", "1") not in ("0", "false", "off")
+
+
+def fused_prod_bwd_enabled() -> bool:
+    """PAIF_FUSED_GF_PROD: compute the GF backward's cotangent pre-products
+    (ybar*guide*inv_n, ybar*inv_n — four src-width HBM temps at B16, 315 MB
+    each) inside the fused box kernels' VMEM instead of materializing them.
+    Only reachable when the fused diff path (PAIF_PALLAS_BOX_DIFF) is
+    active."""
+    return os.environ.get("PAIF_FUSED_GF_PROD", "1") not in ("0", "false", "off")
+
+
 def _gf_backward(packed, r, eps_list, res, cots):
     """Analytic VJP: 6 src-width box sums + 2 guide-width, zero recompute.
 
@@ -357,6 +378,7 @@ def _gf_backward(packed, r, eps_list, res, cots):
     """
     from paif_tpu.ops.pallas.box_filter import (
         box_multi_packed_pallas,
+        box_multi_prod_packed_pallas,
         fused_boxes_applicable,
         pallas_box_applicable,
     )
@@ -393,7 +415,13 @@ def _gf_backward(packed, r, eps_list, res, cots):
     # bench_logs/r5/gf_grad_bisect.log: 30.4 ms of the 46.2 ms backward is
     # elementwise passes).
     gin = widen(guide * inv_n.astype(dt))
-    boxed = box_group([t for ybar in cots for t in (ybar * gin, ybar * inv_n_x)])
+    prod_fused = fused and fused_prod_bwd_enabled()
+    if prod_fused:
+        # products in the kernel's VMEM: x-major gate-minor order matches
+        # the [ybar*gin, ybar*inv_n] per-eps list below
+        boxed = box_multi_prod_packed_pallas(list(cots), [gin, inv_n_x], r)
+    else:
+        boxed = box_group([t for ybar in cots for t in (ybar * gin, ybar * inv_n_x)])
     for i, (eps, ybar, mean_a) in enumerate(zip(eps_list, cots, mean_as)):
         k32 = 1.0 / (var_g32 + eps)
         k = widen(k32.astype(dt))
@@ -413,7 +441,10 @@ def _gf_backward(packed, r, eps_list, res, cots):
         d_var = d_var - k32 * unwiden((t * cov_gs).astype(jnp.float32))
     # cov = bf(gw*src)*inv_n - mean_g*mean_s ; mean_s = bf(src)*inv_n
     d_ms_f = d_ms - d_cov * mean_g
-    d_t, d_s2 = box_group([d_cov * inv_n_x, d_ms_f * inv_n_x])
+    if prod_fused:
+        d_t, d_s2 = box_multi_prod_packed_pallas([d_cov, d_ms_f], [inv_n_x], r)
+    else:
+        d_t, d_s2 = box_group([d_cov * inv_n_x, d_ms_f * inv_n_x])
     d_gw = d_gw + d_t * src
     d_src = d_t * guide_w
     d_mgx = d_mgx - d_cov * mean_s

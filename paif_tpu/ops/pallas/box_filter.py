@@ -135,14 +135,20 @@ def _pass_kernel(x_ref, o_ref, s_ref, *, axis: int, xor_bit: int, m: int):
 
 
 def _multi_pass_kernel(
-    *refs, axis: int, xor_bit: int, m: int, k: int, prod: bool, n_scratch: int = 1
+    *refs, axis: int, xor_bit: int, m: int, k: int, prod: bool, n_scratch: int = 1,
+    n_gates: int = 0,
 ):
     """Fused multi-tensor box pass through 1..n_out f32 scratches.
 
-    refs = k input refs, [+ 1 gate ref when prod], k [*2 when prod] output
-    refs, n_scratch scratch refs. With prod=True each input x additionally
-    emits box(x * g) with the product computed IN VMEM — the guided
-    filter's stage-A correlation moment never materializes x*g in HBM.
+    refs = k input refs, [+ 1 gate ref when prod / + n_gates gate refs],
+    then the output refs, then n_scratch scratch refs. Modes:
+      * prod=True: each input x emits (box(x), box(x*g)) with the product
+        computed IN VMEM — the guided filter's stage-A correlation moment
+        never materializes x*g in HBM.
+      * n_gates>0 (exclusive with prod): each input x emits box(x * g_j)
+        for EVERY gate, products in VMEM — the analytic GF backward's
+        cotangent pre-products (ybar*guide*inv_n, ybar*inv_n) never hit
+        HBM (at B16 flagship each is a 315 MB src-width temp).
 
     Scratch modes (PAIF_FUSED_GF_SCRATCH): one shared scratch reused
     sequentially keeps VMEM ~independent of k but serializes the streams
@@ -150,10 +156,11 @@ def _multi_pass_kernel(
     scratches ('per') cost n_out slabs and let the compiler overlap one
     stream's fill (VPU copy/cast) with another's combine (rolls + adds).
     """
-    n_in = k + (1 if prod else 0)
+    n_g = (1 if prod else 0) + n_gates
+    n_in = k + n_g
     xs = refs[:k]
-    g_ref = refs[k] if prod else None
-    n_out = k * (2 if prod else 1)
+    g_refs = refs[k : k + n_g]
+    n_out = k * (2 if prod else max(1, n_gates))
     outs = refs[n_in : n_in + n_out]
     s_refs = refs[n_in + n_out :]
     n = xs[0].shape[axis]
@@ -168,7 +175,13 @@ def _multi_pass_kernel(
         x = xs[t][0].astype(jnp.float32)
         if prod:
             _box_into(x, outs[2 * t], scratch(2 * t), **kw)
-            _box_into(x * g_ref[0].astype(jnp.float32), outs[2 * t + 1], scratch(2 * t + 1), **kw)
+            _box_into(
+                x * g_refs[0][0].astype(jnp.float32), outs[2 * t + 1], scratch(2 * t + 1), **kw
+            )
+        elif n_gates:
+            for j in range(n_gates):
+                o = t * n_gates + j
+                _box_into(x * g_refs[j][0].astype(jnp.float32), outs[o], scratch(o), **kw)
         else:
             _box_into(x, outs[t], scratch(t), **kw)
 
@@ -446,6 +459,174 @@ def box_pair_prod_packed_pallas(x, g, r: int = R):
     materializing x*g in HBM (reference moment pair: guided_filter_pytorch
     GuidedFilter.forward mean_x / mean_xy)."""
     return _pair_prod_vjp(r, x, g)
+
+
+def _gated_h_pass(xs, gates, r: int):
+    """H-pass of box(x_t * g_j) for every (input, gate) pair, products in
+    VMEM. Gates may be batch-1 (broadcast across the batch grid axis) or
+    full-batch; outputs are x-major, gate-minor, at full batch."""
+    k, n_g = len(xs), len(gates)
+    n_out = k * n_g
+    b, hp, wp, c4 = xs[0].shape
+    m = r // 2
+    io_bytes = max(t.dtype.itemsize for t in list(xs) + list(gates))
+    n_scratch = _n_scratch_for(n_out)
+    tile = _pass_tile(xs[0].shape, r, 1, k + n_g + n_out, io_bytes, n_scratch)
+    if tile == 0 and n_scratch > 1:
+        n_scratch = 1
+        tile = _pass_tile(xs[0].shape, r, 1, k + n_g + n_out, io_bytes, 1)
+    if tile == 0:
+        raise ValueError(
+            f"gated box pass infeasible at shape {xs[0].shape} "
+            f"({k + n_g + n_out} io refs) — gate callers on _pass_tile"
+        )
+    block = (1, hp, tile, c4)
+    x_spec = pl.BlockSpec(block, lambda i, j: (i, 0, j, 0))
+
+    def gate_spec(g):
+        if g.shape[0] == 1:
+            return pl.BlockSpec(block, lambda i, j: (0, 0, j, 0))
+        return x_spec
+
+    return pl.pallas_call(
+        functools.partial(
+            _multi_pass_kernel,
+            axis=1,
+            xor_bit=2,
+            m=m,
+            k=k,
+            prod=False,
+            n_gates=n_g,
+            n_scratch=n_scratch,
+        ),
+        grid=(b, wp // tile),
+        in_specs=[x_spec] * k + [gate_spec(g) for g in gates],
+        out_specs=[x_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct(xs[0].shape, xs[0].dtype)] * n_out,
+        scratch_shapes=[
+            pltpu.VMEM((hp + 2 * m, tile, c4), jnp.float32)
+        ] * n_scratch,
+        interpret=jax.default_backend() != "tpu",
+    )(*xs, *gates)
+
+
+def _multi_prod_impl(xs, gates, r: int):
+    """box(x_t * g_j) for every pair, x-major: the products are computed in
+    the H-pass kernel's VMEM; the W-pass then runs as ordinary fused chunks
+    over the H-passed tensors. Falls back to materialized products when the
+    gated pass does not fit."""
+    k, n_g = len(xs), len(gates)
+    if _pass_tile(xs[0].shape, r, 1, k + n_g + k * n_g,
+                  max(t.dtype.itemsize for t in list(xs) + list(gates))) == 0:
+        prods = [(x * g).astype(x.dtype) for x in xs for g in gates]
+        return _multi_box_impl(tuple(prods), r)
+    hs = _gated_h_pass(xs, gates, r)
+    return tuple(_chunked_pass(list(hs), r, axis=2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _multi_prod_vjp(r: int, k: int, *ops):
+    return _multi_prod_impl(ops[:k], ops[k:], r)
+
+
+def _multi_prod_fwd(r, k, *ops):
+    return _multi_prod_impl(ops[:k], ops[k:], r), ops
+
+
+def _multi_prod_bwd(r, k, res, cts):
+    # y_{t,j} = B(x_t ∘ g_j), B symmetric: with c'_{t,j} = B(c_{t,j}),
+    # dx_t = Σ_j g_j ∘ c'_{t,j}; dg_j = Σ_t x_t ∘ c'_{t,j} (batch-summed
+    # for batch-1 gates).
+    xs, gates = res[:k], res[k:]
+    n_g = len(gates)
+    bs = _multi_box_impl(tuple(cts), r)
+    dxs = []
+    for t, x in enumerate(xs):
+        d = sum(gates[j] * bs[t * n_g + j] for j in range(n_g))
+        dxs.append(d.astype(x.dtype))
+    dgs = []
+    for j, g in enumerate(gates):
+        d = sum(xs[t] * bs[t * n_g + j] for t in range(len(xs)))
+        if g.shape[0] == 1 and d.shape[0] != 1:
+            d = d.sum(axis=0, keepdims=True)
+        dgs.append(d.astype(g.dtype))
+    return (*dxs, *dgs)
+
+
+_multi_prod_vjp.defvjp(_multi_prod_fwd, _multi_prod_bwd)
+
+
+def box_multi_prod_packed_pallas(xs, gates, r: int = R):
+    """Clamped box sums of every input×gate product, x-major gate-minor,
+    with the products computed in the H-pass kernel's VMEM — none of the
+    k*len(gates) src-width product temps is ever materialized in HBM.
+    Built for the analytic GF backward's cotangent pre-products
+    (ops/guided_filter.py _gf_backward)."""
+    return _multi_prod_vjp(r, len(xs), *xs, *gates)
+
+
+def _stageb_kernel(*refs, axis: int, xor_bit: int, m: int, n_eps: int, n_scratch: int):
+    """GF stage-B H-pass: per eps j, a_j = cov*k_j and b_j = mean_s -
+    a_j*mean_g are formed IN VMEM and boxed — the (a, b) pairs never hit
+    HBM. refs = (cov, mean_s, mean_g, k_1..k_E) + 2E outputs + scratches."""
+    cov_ref, ms_ref, mg_ref = refs[:3]
+    k_refs = refs[3 : 3 + n_eps]
+    outs = refs[3 + n_eps : 3 + 3 * n_eps]
+    s_refs = refs[3 + 3 * n_eps :]
+    n = cov_ref.shape[axis]
+    for s_ref in s_refs:
+        _zero_halos(s_ref, axis=axis, m=m, n=n)
+    kw = dict(axis=axis, xor_bit=xor_bit, m=m, n=n)
+
+    def scratch(j):
+        return s_refs[j % len(s_refs)]
+
+    cov = cov_ref[0].astype(jnp.float32)
+    ms = ms_ref[0].astype(jnp.float32)
+    mg = mg_ref[0].astype(jnp.float32)
+    for j in range(n_eps):
+        a = cov * k_refs[j][0].astype(jnp.float32)
+        _box_into(a, outs[2 * j], scratch(2 * j), **kw)
+        _box_into(ms - a * mg, outs[2 * j + 1], scratch(2 * j + 1), **kw)
+
+
+def box_gf_stageb_packed_pallas(cov, ms, mg, ks, r: int = R):
+    """Boxed GF stage-B coefficients [box(a_1), box(b_1), ...] with the
+    per-eps (a, b) construction fused into the H-pass kernel's VMEM
+    (reference: guided_filter_pytorch GuidedFilter.forward mean_A/mean_b).
+    NOT differentiable (no VJP): only reachable from _gf_forward, which is
+    always under the guided filter's own custom VJP. Falls back to the
+    materialized construction + fused multi-box when the slab won't fit."""
+    n_eps = len(ks)
+    b, hp, wp, c4 = cov.shape
+    m = r // 2
+    io_bytes = max(t.dtype.itemsize for t in (cov, ms, mg, *ks))
+    n_io = 3 + 3 * n_eps
+    n_scratch = _n_scratch_for(2 * n_eps)
+    tile = _pass_tile(cov.shape, r, 1, n_io, io_bytes, n_scratch)
+    if tile == 0 and n_scratch > 1:
+        n_scratch = 1
+        tile = _pass_tile(cov.shape, r, 1, n_io, io_bytes, 1)
+    if tile == 0:
+        a_bs = []
+        for k in ks:
+            a = cov * k
+            a_bs.extend([a, (ms - a * mg).astype(cov.dtype)])
+        return list(_multi_box_impl(tuple(a_bs), r))
+    block = (1, hp, tile, c4)
+    spec = pl.BlockSpec(block, lambda i, j: (i, 0, j, 0))
+    hs = pl.pallas_call(
+        functools.partial(
+            _stageb_kernel, axis=1, xor_bit=2, m=m, n_eps=n_eps, n_scratch=n_scratch
+        ),
+        grid=(b, wp // tile),
+        in_specs=[spec] * (3 + n_eps),
+        out_specs=[spec] * (2 * n_eps),
+        out_shape=[jax.ShapeDtypeStruct(cov.shape, cov.dtype)] * (2 * n_eps),
+        scratch_shapes=[pltpu.VMEM((hp + 2 * m, tile, c4), jnp.float32)] * n_scratch,
+        interpret=jax.default_backend() != "tpu",
+    )(cov, ms, mg, *ks)
+    return list(_chunked_pass(list(hs), r, axis=2))
 
 
 def fused_boxes_applicable(xp_shape, r: int, ignore_env: bool = False) -> bool:

@@ -347,6 +347,46 @@ def test_fused_pair_prod_box_matches_einsum(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-2)
 
 
+def test_multi_prod_box_matches_einsum(monkeypatch):
+    """box(x_t * g_j) for every input×gate pair with products in VMEM —
+    values (incl. a batch-1 broadcast gate) and gradients vs the einsum
+    formulation (the GF backward's pre-product pattern)."""
+    from paif_tpu.ops.pallas.box_filter import box_multi_prod_packed_pallas
+
+    monkeypatch.setenv("PAIF_PALLAS_BOX", "1")
+    rng = np.random.default_rng(23)
+    xs = [jnp.asarray(rng.normal(size=(2, 32, 48, 32)), jnp.float32) for _ in range(2)]
+    g0 = jnp.asarray(rng.normal(size=(2, 32, 48, 32)), jnp.float32)
+    g1 = jnp.asarray(rng.normal(size=(1, 32, 48, 32)), jnp.float32)  # batch-1 gate
+    xps = [pack(x) for x in xs]
+    gps = [pack(g0), pack(g1)]
+    got = box_multi_prod_packed_pallas(xps, gps, 4)
+    assert len(got) == 4
+    for t, x in enumerate(xs):
+        for j, g in enumerate((g0, g1)):
+            np.testing.assert_allclose(
+                np.asarray(unpack(got[2 * t + j])),
+                np.asarray(box_filter(x * g, 4)),
+                rtol=1e-4,
+                atol=1e-4,
+            )
+
+    def loss_fused(a, b, c, d):
+        ys = box_multi_prod_packed_pallas([a, b], [c, d], 4)
+        return sum(jnp.sum(y * (i + 1)) for i, y in enumerate(ys))
+
+    def loss_ref(a, b, c, d):
+        ys = [box_filter_packed((x * g).astype(x.dtype), 4, allow_pallas=False)
+              for x in (a, b) for g in (c, d)]
+        return sum(jnp.sum(y * (i + 1)) for i, y in enumerate(ys))
+
+    gf_ = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(*xps, *gps)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*xps, *gps)
+    for a, b in zip(gf_, gr):
+        assert a.shape == b.shape  # batch-1 gate grad stays batch-1
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-2)
+
+
 def test_guided_filter_fused_boxes_match(monkeypatch):
     """guided_filter_multi_eps primal with the fused Pallas boxes ==
     the einsum-only path (f32), including the Cell_Decom two-eps config."""
